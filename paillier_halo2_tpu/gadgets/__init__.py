@@ -1,0 +1,18 @@
+from .biguint import AssignedBigUint, BigUintChip, RefreshAux
+from .context import Cells, Context, VirtualTable
+from .gate import GateChip
+from .paillier import EncryptionPublicKeyAssigned, PaillierChip
+from .range import RangeChip
+
+__all__ = [
+    "Context",
+    "Cells",
+    "VirtualTable",
+    "GateChip",
+    "RangeChip",
+    "BigUintChip",
+    "AssignedBigUint",
+    "RefreshAux",
+    "PaillierChip",
+    "EncryptionPublicKeyAssigned",
+]

@@ -1,0 +1,197 @@
+"""Virtual constraint-synthesis arena — TPU-first re-design of halo2-base's
+`Context` / `SinglePhaseCoreManager` (SURVEY.md section 2.2).
+
+The reference records virtual advice cells one at a time from Rust closures.
+Here, synthesis is *vectorized*: every gadget op appends a whole block of rows
+(numpy arrays) in O(1) Python calls, so circuit synthesis cost scales with the
+number of gadget ops, not the number of cells. Witness values are Python ints
+(arbitrary precision, mod Fr) held in object arrays; the finalized table is
+later packed into 8-bit digit vectors for device-side constraint evaluation
+and proving.
+
+Gate shape (vertical flex gate, one advice column per thread, matching
+halo2-base's custom gate): for each gate start row i,
+    w[i] + w[i+1] * w[i+2] == w[i+3]   (mod Fr)
+Copy constraints assert cell equality; constant constraints pin cells to fixed
+values; lookup tags assert membership in the [0, 2^lookup_bits) range table.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable
+
+import numpy as np
+
+from ..ff import host as ff_host
+
+FR_MOD = ff_host.FR_MOD
+
+
+def _to_object_array(vals) -> np.ndarray:
+    if isinstance(vals, np.ndarray) and vals.dtype == object:
+        return vals
+    arr = np.empty(len(vals), dtype=object)
+    for i, v in enumerate(vals):
+        arr[i] = int(v)
+    return arr
+
+
+@dataclasses.dataclass
+class Cells:
+    """A vector of assigned cells: global row indices + witness values.
+
+    The Python-facing handle gadget ops pass around — analogous to a slice of
+    `AssignedValue`s in halo2-base. `idx` and `val` always have equal length.
+    """
+
+    idx: np.ndarray  # int64 (m,)
+    val: np.ndarray  # object (m,) Python ints in [0, FR_MOD)
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+    def __getitem__(self, sl) -> "Cells":
+        if isinstance(sl, int):
+            sl = slice(sl, sl + 1)
+        return Cells(self.idx[sl], self.val[sl])
+
+    def concat(self, other: "Cells") -> "Cells":
+        return Cells(
+            np.concatenate([self.idx, other.idx]),
+            np.concatenate([self.val, other.val]),
+        )
+
+    def broadcast_to(self, m: int) -> "Cells":
+        assert len(self) == 1
+        return Cells(np.repeat(self.idx, m), np.repeat(self.val, m))
+
+    def ints(self) -> list[int]:
+        return [int(v) for v in self.val]
+
+
+class Context:
+    """Append-only virtual table builder (single phase, single virtual thread)."""
+
+    def __init__(self) -> None:
+        self._value_chunks: list[np.ndarray] = []
+        self._n_rows = 0
+        self._gate_chunks: list[np.ndarray] = []  # gate start rows
+        self._copy_a: list[np.ndarray] = []
+        self._copy_b: list[np.ndarray] = []
+        self._const_idx: list[np.ndarray] = []
+        self._const_val: list[np.ndarray] = []
+        self._lookup_chunks: list[np.ndarray] = []  # cells tagged for range lookup
+        self._const_cache: dict[int, int] = {}  # value -> canonical cell idx
+        self._zero_cell: Cells | None = None
+
+    # -- raw appends ---------------------------------------------------------
+
+    def append_rows(self, values: np.ndarray) -> int:
+        """Append a block of witness rows; returns the start row index."""
+        values = _to_object_array(values)
+        start = self._n_rows
+        self._value_chunks.append(values)
+        self._n_rows += len(values)
+        return start
+
+    def add_gates(self, starts: np.ndarray) -> None:
+        self._gate_chunks.append(np.asarray(starts, dtype=np.int64))
+
+    def add_copies(self, a_idx: np.ndarray, b_idx: np.ndarray) -> None:
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        assert a_idx.shape == b_idx.shape
+        if len(a_idx):
+            self._copy_a.append(a_idx)
+            self._copy_b.append(b_idx)
+
+    def add_constants(self, idx: np.ndarray, vals) -> None:
+        idx = np.asarray(idx, dtype=np.int64)
+        if len(idx):
+            self._const_idx.append(idx)
+            self._const_val.append(_to_object_array(vals))
+
+    def add_lookups(self, idx: np.ndarray) -> None:
+        idx = np.asarray(idx, dtype=np.int64)
+        if len(idx):
+            self._lookup_chunks.append(idx)
+
+    # -- cell creation -------------------------------------------------------
+
+    def load_witness(self, vals) -> Cells:
+        """Unconstrained advice cells (constrained later by gates/copies)."""
+        vals = _to_object_array(vals)
+        start = self.append_rows(vals)
+        return Cells(np.arange(start, start + len(vals), dtype=np.int64), vals)
+
+    def load_constants(self, vals) -> Cells:
+        """Cells pinned to fixed values, deduped via the constant cache."""
+        vals = _to_object_array(vals)
+        idx = np.empty(len(vals), dtype=np.int64)
+        new_vals, new_pos = [], []
+        for i, v in enumerate(vals):
+            v = int(v) % FR_MOD
+            cached = self._const_cache.get(v)
+            if cached is None:
+                new_pos.append(i)
+                new_vals.append(v)
+            else:
+                idx[i] = cached
+        if new_vals:
+            start = self.append_rows(_to_object_array(new_vals))
+            arr = np.arange(start, start + len(new_vals), dtype=np.int64)
+            self.add_constants(arr, new_vals)
+            for p, v, j in zip(new_pos, new_vals, arr):
+                self._const_cache[v] = int(j)
+                idx[p] = j
+        return Cells(idx, np.array([v % FR_MOD for v in vals], dtype=object))
+
+    def load_zero(self) -> Cells:
+        """Mirror of ctx.load_zero() (/root/reference/src/paillier.rs:47)."""
+        if self._zero_cell is None:
+            self._zero_cell = self.load_constants([0])
+        return self._zero_cell
+
+    # -- finalize ------------------------------------------------------------
+
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    def finalize(self) -> "VirtualTable":
+        def cat(chunks, dtype=None):
+            if not chunks:
+                return np.zeros(0, dtype=dtype or np.int64)
+            return np.concatenate(chunks)
+
+        return VirtualTable(
+            values=cat(self._value_chunks, object),
+            gates=cat(self._gate_chunks),
+            copy_a=cat(self._copy_a),
+            copy_b=cat(self._copy_b),
+            const_idx=cat(self._const_idx),
+            const_val=cat(self._const_val, object),
+            lookups=cat(self._lookup_chunks),
+        )
+
+
+@dataclasses.dataclass
+class VirtualTable:
+    """Finalized single-column virtual circuit, pre column-assignment.
+
+    The input both to the mock prover (SURVEY.md section 2.2 "MockProver") and
+    to the real prover's column assignment / config auto-sizing step
+    (config_params dry run, /root/reference/src/bench.rs:173).
+    """
+
+    values: np.ndarray  # object (n_rows,)
+    gates: np.ndarray  # int64 (n_gates,) gate start rows
+    copy_a: np.ndarray  # int64 (n_copies,)
+    copy_b: np.ndarray  # int64 (n_copies,)
+    const_idx: np.ndarray  # int64 (n_consts,)
+    const_val: np.ndarray  # object (n_consts,)
+    lookups: np.ndarray  # int64 (n_lookups,)
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.values)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,7 @@ def _kogge_stone_carries(g: jnp.ndarray, pr: jnp.ndarray) -> jnp.ndarray:
     return _shift_up(gpref)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def carry_normalize(d: jnp.ndarray, max_digit: int) -> jnp.ndarray:
     """Exactly normalize a redundant digit vector to digits in [0, 256).
 
@@ -128,6 +130,7 @@ def carry_normalize(d: jnp.ndarray, max_digit: int) -> jnp.ndarray:
     return (s + carries) & DIGIT_MASK
 
 
+@jax.jit
 def sub_digits(a: jnp.ndarray, b: jnp.ndarray):
     """(a - b) mod 2^(8*len) for normalized digit vectors; also returns a<b flag.
 
@@ -144,6 +147,7 @@ def sub_digits(a: jnp.ndarray, b: jnp.ndarray):
     return out, underflow
 
 
+@jax.jit
 def ge_digits(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a >= b on normalized digit vectors (uint32 0/1 per batch element)."""
     _, under = sub_digits(a, b)
@@ -155,23 +159,63 @@ def ge_digits(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_gather_matrix(n: int, m: int, out_len: int) -> np.ndarray:
+    """(out_len, n*m) 0/1 matrix summing anti-diagonals of the outer product."""
+    t = np.zeros((out_len, n * m), np.float32)
+    for i in range(n):
+        for j in range(m):
+            if i + j < out_len:
+                t[i + j, i * m + j] = 1.0
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_const_matrix(bvec: tuple, n: int, out_len: int) -> np.ndarray:
+    """(out_len, n) matrix with M[k, i] = b[k-i] — convolution by a constant."""
+    t = np.zeros((out_len, n), np.float32)
+    for i in range(n):
+        for j, bv in enumerate(bvec):
+            if i + j < out_len:
+                t[i + j, i] = float(bv)
+    return t
+
+
 def conv_digits(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
     """out[k] = sum_{i+j=k} a[i]*b[j], truncated to out_len digits.
 
-    Inputs must be normalized (< 256) so accumulated products stay < 2^22.
-    Static unrolled loop — XLA fuses the shifts/multiply-adds; the Pallas MXU
-    version replaces constant-operand calls with matmuls.
+    Formulated as outer-product + one constant-matrix contraction so the whole
+    schoolbook product is a single dot_general (MXU-friendly on TPU, compact
+    HLO). Exactness: digit products < 2^16 and anti-diagonal sums < 2^22 are
+    exactly representable in f32 (24-bit mantissa).
     """
     n, m = a.shape[0], b.shape[0]
-    full = n + m - 1
     if out_len is None:
-        out_len = full
+        out_len = n + m - 1
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    out = jnp.zeros((out_len,) + batch, U32)
-    for i in range(min(n, out_len)):
-        width = min(m, out_len - i)
-        out = out.at[i : i + width].add(a[i] * b[:width])
-    return out
+    au = jnp.broadcast_to(a, (n,) + batch)
+    bu = jnp.broadcast_to(b, (m,) + batch)
+    prod = (au[:, None] * bu[None, :]).reshape((n * m,) + batch)  # < 2^16
+    t = jnp.asarray(_conv_gather_matrix(n, m, out_len))
+    # TPU MXU rounds f32 matmul inputs to bf16 (exact only below 2^8), so feed
+    # the dot exact bytes: split products into lo/hi bytes, two matmuls.
+    lo = (prod & DIGIT_MASK).astype(jnp.float32)
+    hi = (prod >> DIGIT_BITS).astype(jnp.float32)
+    dims = (((1,), (0,)), ((), ()))
+    clo = jax.lax.dot_general(t, lo, dims, preferred_element_type=jnp.float32)
+    chi = jax.lax.dot_general(t, hi, dims, preferred_element_type=jnp.float32)
+    return clo.astype(U32) + (chi.astype(U32) << DIGIT_BITS)
+
+
+def conv_const(a: jnp.ndarray, bvec: np.ndarray, out_len: int) -> jnp.ndarray:
+    """Convolution of digit vector a with a host constant digit vector —
+    one (out_len, n) x (n, batch) matmul."""
+    n = a.shape[0]
+    t = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in bvec), n, out_len))
+    out = jax.lax.dot_general(
+        t, a.astype(jnp.float32), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return out.astype(U32)
 
 
 # ---------------------------------------------------------------------------
@@ -179,6 +223,7 @@ def conv_digits(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None) -> j
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnums=(0,))
 def cond_sub_p(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Reduce a in [0, 2p) to [0, p)."""
     p = _const(spec.p_digits, a.ndim - 1)
@@ -186,11 +231,13 @@ def cond_sub_p(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(under.astype(bool), a, diff)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     s = carry_normalize(a + b, max_digit=2 * DIGIT_MASK)
     return cond_sub_p(spec, s)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     d_ab, under = sub_digits(a, b)
     # If a < b the wrapped digits are wrong; compute p - (b - a) instead.
@@ -200,6 +247,7 @@ def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(under.astype(bool), p_minus, d_ab)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     p = _const(spec.p_digits, a.ndim - 1)
     d, _ = sub_digits(p, a)
@@ -207,6 +255,7 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_zero, a, d)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p on normalized digit vectors.
 
@@ -217,11 +266,9 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     batch_ndim = a.ndim - 1
     t = conv_digits(a, b)  # 2*nd-1 digits, < 2^22
     t_lo = carry_normalize(t[:nd], max_digit=nd * DIGIT_MASK * DIGIT_MASK)
-    mu = _const(spec.mu_digits, batch_ndim)
-    m = conv_digits(t_lo, mu, out_len=nd)
+    m = conv_const(t_lo, spec.mu_digits, out_len=nd)
     m = carry_normalize(m, max_digit=nd * DIGIT_MASK * DIGIT_MASK)
-    p = _const(spec.p_digits, batch_ndim)
-    mp = conv_digits(m, p)  # 2*nd-1 digits
+    mp = conv_const(m, spec.p_digits, out_len=2 * nd - 1)
     pad = [(0, 1)] + [(0, 0)] * batch_ndim
     u = jnp.pad(t, pad) + jnp.pad(mp, pad)  # 2*nd digits, < 2^23
     u = carry_normalize(u, max_digit=2 * nd * DIGIT_MASK * DIGIT_MASK)
@@ -229,18 +276,22 @@ def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return cond_sub_p(spec, res)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def mont_sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, a)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, _const(spec.r2_digits, a.ndim - 1))
 
 
+@partial(jax.jit, static_argnums=(0,))
 def from_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(spec, a, _const(spec.one_digits, a.ndim - 1))
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def mont_pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     """a^e for a in Montgomery form, e a static host int (square-and-multiply).
 
@@ -262,6 +313,7 @@ def mont_pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     return acc
 
 
+@partial(jax.jit, static_argnums=(0,))
 def mont_inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Batched inverse via Fermat: a^{p-2}. Input/output in Montgomery form."""
     return mont_pow_fixed(spec, a, spec.p - 2)

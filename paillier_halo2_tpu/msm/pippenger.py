@@ -1,0 +1,136 @@
+"""Pippenger multi-scalar multiplication on TPU — replacement for
+halo2curves' rayon MSM (SURVEY.md section 2.2, "Pippenger MSM").
+
+TPU-first formulation (no data-dependent scatters):
+- window size c divides 8 so window keys slice directly out of the 8-bit
+  scalar digit rows (c=8: keys ARE the digit rows; c=4: nibbles).
+- bucket accumulation by sorting each window's keys (argsort) and then
+  *gather-rounds*: round r gathers, for every (window, bucket) lane, the r-th
+  point of that bucket's contiguous run in sorted order and adds it with a
+  mixed Jacobian+affine add; masked lanes add infinity (a no-op). The round
+  count is the max bucket occupancy — a traced value driving lax.while_loop,
+  so shapes stay static while work adapts to the data (~4x the mean for
+  random scalars; degenerate all-equal scalars degrade to N rounds but stay
+  correct).
+- bucket weighting via the suffix-sum identity sum_b b*B_b = sum_b S_b with
+  S_b = sum_{b'>=b} B_b', computed as a sequential fold (compile-size O(1)
+  point-adds; 2*(2^c-1) batched adds over the window lane axis at runtime).
+- final window Horner combine on host (cheap doublings on Python ints).
+
+The multi-chip version row-shards points/scalars and combines per-chip partial
+sums (SURVEY.md section 2.3: "sharded MSM"); see mesh/.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ec import bn254
+from ..ec import host as ech
+from ..ff import field_jax as f
+from ..ff.limbs import DIGIT_BITS, N_DIGITS
+
+
+def _keys_from_digits(scalar_digits: jnp.ndarray, window_bits: int) -> jnp.ndarray:
+    """(N_DIGITS, N) 8-bit digits -> (n_windows, N) c-bit window keys."""
+    assert DIGIT_BITS % window_bits == 0
+    per_digit = DIGIT_BITS // window_bits
+    if per_digit == 1:
+        return scalar_digits
+    mask = (1 << window_bits) - 1
+    parts = [
+        (scalar_digits >> (window_bits * j)) & mask for j in range(per_digit)
+    ]  # part j = j-th sub-window of each digit, LSB first
+    stacked = jnp.stack(parts, axis=1)  # (N_DIGITS, per_digit, N)
+    return stacked.reshape(N_DIGITS * per_digit, -1)
+
+
+def _inf_points(batch_shape) -> bn254.JPoint:
+    one = jnp.broadcast_to(
+        jnp.asarray(f.pack_ints([bn254.SPEC.r_mod_p])).reshape((N_DIGITS,) + (1,) * len(batch_shape)),
+        (N_DIGITS,) + tuple(batch_shape),
+    )
+    return (one, one, jnp.zeros((N_DIGITS,) + tuple(batch_shape), jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
+    """Per-(window, bucket) sums. px/py: (N_DIGITS, N) packed affine Montgomery;
+    p_inf: (N,) bool; keys: (W, N) int window keys. Returns Jacobian buckets
+    with batch (W, 2^c)."""
+    n = px.shape[1]
+    n_windows = keys.shape[0]
+    n_buckets = 1 << window_bits
+    keys = jnp.where(p_inf[None, :], 0, keys.astype(jnp.int32))
+    order = jnp.argsort(keys, axis=1)  # (W, N) stable
+
+    counts = jnp.zeros((n_windows, n_buckets), jnp.int32)
+    counts = counts.at[jnp.repeat(jnp.arange(n_windows), n), keys.reshape(-1)].add(1)
+    seg_start = jnp.cumsum(counts, axis=1) - counts  # exclusive prefix (W, B)
+    counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
+
+    acc = _inf_points((n_windows, n_buckets))
+    max_rounds = jnp.max(counts)
+
+    def cond(state):
+        r, _ = state
+        return r < max_rounds
+
+    def body(state):
+        r, acc = state
+        pos = jnp.clip(seg_start + r, 0, n - 1)  # (W, B)
+        idx = jnp.take_along_axis(order, pos, axis=1)  # original point indices
+        gx = jnp.take(px, idx, axis=1)  # (D, W, B)
+        gy = jnp.take(py, idx, axis=1)
+        g_inf = jnp.take(p_inf, idx)  # (W, B)
+        mask_off = (r >= counts) | g_inf
+        acc = bn254.padd_mixed(acc, (gx, gy), mask_off)
+        return r + 1, acc
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _window_sums(buckets, n_buckets: int):
+    """T_w = sum_b b * B_{w,b} via the suffix-sum identity, as a sequential
+    fold (S accumulates the suffix, T the sum of suffixes)."""
+    n_windows = buckets[0].shape[1]
+
+    def body(i, st):
+        s, t = st
+        b = n_buckets - 1 - i
+        bb = tuple(jax.lax.dynamic_index_in_dim(c, b, axis=2, keepdims=False) for c in buckets)
+        s = bn254.padd(s, bb)
+        t = bn254.padd(t, s)
+        return (s, t)
+
+    inf = _inf_points((n_windows,))
+    _, t = jax.lax.fori_loop(0, n_buckets - 1, body, (inf, inf))
+    return t
+
+
+def msm_packed(px, py, p_inf, scalar_digits, window_bits: int = 8) -> ech.Point:
+    """MSM over pre-packed affine bases and standard-form scalar digits.
+    Returns the host affine result (final Horner combine on host)."""
+    keys = _keys_from_digits(jnp.asarray(scalar_digits), window_bits)
+    buckets = _bucket_accumulate(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits)
+    tw = _window_sums(buckets, 1 << window_bits)
+    pts = bn254.unpack_jacobian(tw)  # window sums, LSB window first
+    acc = None
+    for p in reversed(pts):
+        for _ in range(window_bits):
+            acc = ech.g1_double(acc)
+        acc = ech.g1_add(acc, p)
+    return acc
+
+
+def msm(points: list[ech.Point], scalars: list[int], window_bits: int = 8) -> ech.Point:
+    """Convenience entry: host points + host int scalars."""
+    assert len(points) == len(scalars)
+    px, py, p_inf = bn254.pack_affine(points)
+    sd = f.pack_ints([s % ech.R for s in scalars])
+    return msm_packed(px, py, p_inf, sd, window_bits)

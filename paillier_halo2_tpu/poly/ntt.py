@@ -1,0 +1,111 @@
+"""Radix-2 NTT/iNTT over Fr on digit vectors — TPU replacement for
+halo2-axiom's rayon-parallel FFT (SURVEY.md section 2.2, "NTT/iNTT").
+
+Cooley-Tukey DIT with a host-precomputed bit-reversal gather followed by k
+butterfly stages; every stage is one batched Montgomery multiply over n/2
+lanes plus add/sub — static shapes, jit-friendly. Twiddles are baked per
+(k, inverse) and cached. The multi-chip version shards the leading stages and
+exchanges via all-to-all (SURVEY.md section 2.3); see mesh/.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff import field_jax as f
+from ..ff import host
+from ..ff.limbs import N_DIGITS
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev(k: int) -> np.ndarray:
+    n = 1 << k
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(k: int, inverse: bool) -> tuple[np.ndarray, ...]:
+    """Per-stage twiddle digit arrays (Montgomery form), stage s has 2^s."""
+    p = host.FR_MOD
+    out = []
+    for s in range(k):
+        w = host.root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, p - 2, p)
+        half = 1 << s
+        tw = f.pack_ints([x * f.FR.r_mod_p % p for x in _powers(w, half)])
+        out.append(tw)
+    return tuple(out)
+
+
+def _powers(base: int, count: int) -> list[int]:
+    acc, out = 1, []
+    for _ in range(count):
+        out.append(acc)
+        acc = acc * base % host.FR_MOD
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def ntt(x: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
+    """In-order NTT of a (N_DIGITS, 2^k) Montgomery-form coefficient array.
+
+    Forward: evaluations over H in natural index order (omega^i at index i).
+    Inverse: includes the 1/n scaling.
+    """
+    n = 1 << k
+    assert x.shape == (N_DIGITS, n), x.shape
+    spec = f.FR
+    x = jnp.take(x, jnp.asarray(_bitrev(k)), axis=1)
+    for s, tw in enumerate(_stage_twiddles(k, inverse)):
+        half = 1 << s
+        xb = x.reshape(N_DIGITS, n >> (s + 1), 2, half)
+        u = xb[:, :, 0, :]
+        v = f.mont_mul(spec, xb[:, :, 1, :], jnp.asarray(tw)[:, None, :])
+        x = jnp.concatenate([f.add(spec, u, v)[:, :, None, :], f.sub(spec, u, v)[:, :, None, :]], axis=2)
+        x = x.reshape(N_DIGITS, n)
+    if inverse:
+        n_inv = pow(n, host.FR_MOD - 2, host.FR_MOD)
+        scale = f.pack_ints([n_inv * spec.r_mod_p % host.FR_MOD])
+        x = f.mont_mul(spec, x, jnp.asarray(scale))
+    return x
+
+
+def make_ntt(k: int, inverse: bool = False):
+    """Jitted NTT closure for a fixed size."""
+    return jax.jit(lambda x: ntt(x, k, inverse))
+
+
+# -- host oracle -------------------------------------------------------------
+
+
+def ntt_host(coeffs: list[int], k: int, inverse: bool = False) -> list[int]:
+    """Python-int radix-2 NTT oracle for tests."""
+    p = host.FR_MOD
+    n = 1 << k
+    assert len(coeffs) == n
+    a = [c % p for c in coeffs]
+    a = [a[i] for i in _bitrev(k)]
+    for s in range(k):
+        half = 1 << s
+        w = host.root_of_unity(s + 1)
+        if inverse:
+            w = pow(w, p - 2, p)
+        ws = _powers(w, half)
+        for start in range(0, n, 2 * half):
+            for j in range(half):
+                u = a[start + j]
+                v = a[start + half + j] * ws[j] % p
+                a[start + j] = (u + v) % p
+                a[start + half + j] = (u - v) % p
+    if inverse:
+        n_inv = pow(n, p - 2, p)
+        a = [x * n_inv % p for x in a]
+    return a

@@ -2,15 +2,25 @@
 
 The reference's tests run single-process on CPU (cargo test); ours additionally
 exercise multi-chip sharding, which JAX lets us fake on CPU via
---xla_force_host_platform_device_count (SURVEY.md section 4, "No multi-node story").
-This must be set before jax is imported anywhere.
+--xla_force_host_platform_device_count (SURVEY.md section 4).
+
+Note: this environment pre-imports jax in sitecustomize with the remote
+'axon' TPU platform, so env vars alone are too late — the platform must be
+overridden through jax.config before any backend initializes. The remote TPU
+has high per-dispatch latency (it is a tunnel), so unit tests run on local
+CPU; only benches target the real chip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already imported by sitecustomize; config still open)
+
+jax.config.update("jax_platforms", "cpu")
+
+from paillier_halo2_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()

@@ -181,24 +181,41 @@ def _conv_const_matrix(bvec: tuple, n: int, out_len: int) -> np.ndarray:
     return t
 
 
+# Which convolution lowering to use: "matmul" (single dot_general against a
+# 0/1 gather matrix — minimal HLO, MXU-eligible; the extra flops ride an
+# otherwise idle MXU) or "loop" (unrolled shift-accumulate on the VPU —
+# compute-optimal flops but slow dynamic-update-slice chains on CPU). The
+# Pallas kernel supersedes both on the TPU hot path.
+CONV_IMPL = "matmul"
+
+
 def conv_digits(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
     """out[k] = sum_{i+j=k} a[i]*b[j], truncated to out_len digits.
-
-    Formulated as outer-product + one constant-matrix contraction so the whole
-    schoolbook product is a single dot_general (MXU-friendly on TPU, compact
-    HLO). Exactness: digit products < 2^16 and anti-diagonal sums < 2^22 are
-    exactly representable in f32 (24-bit mantissa).
-    """
+    Inputs normalized (< 256); accumulated products stay < 2^22."""
     n, m = a.shape[0], b.shape[0]
     if out_len is None:
         out_len = n + m - 1
+    if CONV_IMPL == "loop":
+        batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        out = jnp.zeros((out_len,) + batch, U32)
+        for i in range(min(n, out_len)):
+            width = min(m, out_len - i)
+            out = out.at[i : i + width].add(a[i] * b[:width])
+        return out
+    return _conv_digits_matmul(a, b, out_len)
+
+
+def _conv_digits_matmul(a: jnp.ndarray, b: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Outer-product + one constant-matrix contraction: the whole schoolbook
+    product is a single dot_general. Exactness: TPU MXU rounds f32 matmul
+    inputs to bf16 (exact only below 2^8), so the dot is fed exact bytes —
+    products split into lo/hi bytes, two matmuls."""
+    n, m = a.shape[0], b.shape[0]
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     au = jnp.broadcast_to(a, (n,) + batch)
     bu = jnp.broadcast_to(b, (m,) + batch)
     prod = (au[:, None] * bu[None, :]).reshape((n * m,) + batch)  # < 2^16
     t = jnp.asarray(_conv_gather_matrix(n, m, out_len))
-    # TPU MXU rounds f32 matmul inputs to bf16 (exact only below 2^8), so feed
-    # the dot exact bytes: split products into lo/hi bytes, two matmuls.
     lo = (prod & DIGIT_MASK).astype(jnp.float32)
     hi = (prod >> DIGIT_BITS).astype(jnp.float32)
     dims = (((1,), (0,)), ((), ()))
@@ -208,9 +225,18 @@ def conv_digits(a: jnp.ndarray, b: jnp.ndarray, out_len: int | None = None) -> j
 
 
 def conv_const(a: jnp.ndarray, bvec: np.ndarray, out_len: int) -> jnp.ndarray:
-    """Convolution of digit vector a with a host constant digit vector —
-    one (out_len, n) x (n, batch) matmul."""
+    """Convolution of digit vector a with a host constant digit vector."""
     n = a.shape[0]
+    if CONV_IMPL == "loop":
+        bdev = jnp.asarray(np.asarray(bvec, dtype=np.uint32)).reshape(
+            (len(bvec),) + (1,) * (a.ndim - 1)
+        )
+        m = len(bvec)
+        out = jnp.zeros((out_len,) + a.shape[1:], U32)
+        for i in range(min(n, out_len)):
+            width = min(m, out_len - i)
+            out = out.at[i : i + width].add(a[i] * bdev[:width])
+        return out
     t = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in bvec), n, out_len))
     out = jax.lax.dot_general(
         t, a.astype(jnp.float32), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32

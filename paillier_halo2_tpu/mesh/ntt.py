@@ -1,0 +1,101 @@
+"""Distributed four-step NTT: local butterfly stages on-chip, global stages
+via all-to-all transposes (SURVEY.md section 2.3, "distributed NTT").
+
+Bailey decomposition with n1 = d (mesh size), n2 = N/d, input A[j1, j2]
+row-major sharded by j1:
+
+  1. all-to-all transpose -> each chip holds all j1 for a j2-chunk
+  2. local column NTTs of length n1 (w_N^{n2} twiddles)
+  3. twiddle multiply by w_N^{k1*j2} (precomputed, sharded like the data)
+  4. all-to-all transpose -> each chip holds the full j2 row for its k1
+  5. local row NTT of length n2
+
+Output X[k2*n1 + k1] lands as O[k1, k2] with k1 = chip index — the natural
+four-step strided layout; `reorder_output` produces the flat natural order.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..ff import field_jax as f
+from ..ff import host
+from ..ff.limbs import N_DIGITS
+from ..poly import ops
+from ..poly.ntt import ntt
+
+SPEC = f.FR
+PRIME = host.FR_MOD
+
+
+@functools.lru_cache(maxsize=None)
+def _step3_twiddles(k: int, d: int) -> np.ndarray:
+    """(N_DIGITS, d, n2) Montgomery digits of w_N^{k1*j2}."""
+    n = 1 << k
+    n2 = n // d
+    w = host.root_of_unity(k)
+    vals = []
+    for k1 in range(d):
+        wk1 = pow(w, k1, PRIME)
+        acc = 1
+        for j2 in range(n2):
+            vals.append(acc * f.FR.r_mod_p % PRIME)
+            acc = acc * wk1 % PRIME
+    return ops.pack_values([v for v in vals]).reshape(N_DIGITS, d, n2)
+
+
+def ntt_distributed(mesh, x: jnp.ndarray, k: int):
+    """NTT of a (N_DIGITS, 2^k) Montgomery array, point axis sharded over
+    mesh axis 'x'. Returns (N_DIGITS, d, n2) in four-step layout."""
+    d = mesh.devices.size
+    n = 1 << k
+    n2 = n // d
+    assert n % (d * d) == 0, "need d^2 | n for the all-to-all chunking"
+    k1_bits = d.bit_length() - 1
+    assert 1 << k1_bits == d, "mesh size must be a power of two"
+    tw = jnp.asarray(_step3_twiddles(k, d))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "x"), P(None, None, "x")),
+        out_specs=P(None, "x", None),
+        check_vma=False,
+    )
+    def run(local, tw_local):
+        # local: (D, n2) = row j1 = this chip; tw_local: (D, d, n2/d)
+        m = n2 // d
+        a = local.reshape(N_DIGITS, d, m)
+        # 1. transpose: now axis1 = source chip = j1, trailing = j2 chunk
+        a = jax.lax.all_to_all(a, "x", split_axis=1, concat_axis=1)
+        # 2. column NTTs of length d over axis 1 (batch over j2 chunk)
+        a = jax.vmap(lambda v: ntt(v, k1_bits), in_axes=2, out_axes=2)(a)
+        # 3. twiddle: local j2 chunk of w^{k1*j2}; tw_local is (D, d(k1), m)
+        a = f.mont_mul(SPEC, a, tw_local)
+        # 4. transpose back: full j2 row for own k1. all_to_all with distinct
+        # split/concat axes inserts the source-device axis as the MINOR
+        # dimension at concat position -> (D, m, d); global j2 = p*m + l, so
+        # swap to (D, d, m) before flattening.
+        a = jax.lax.all_to_all(a, "x", split_axis=1, concat_axis=2)
+        a = jnp.swapaxes(a, 1, 2)
+        # 5. row NTT of length n2
+        a = ntt(a.reshape(N_DIGITS, n2), k - k1_bits)
+        return a[:, None, :]  # (D, 1, n2) -> global (D, d, n2)
+
+    # Chip q's step-3 layout is (all k1, j2 in chunk q); sharding the global
+    # twiddle array along its j2 axis hands each chip exactly that block.
+    return run(x, tw)
+
+
+def reorder_output(out) -> jnp.ndarray:
+    """(D, d, n2) four-step layout -> (D, n) natural order: X[k2*d + k1]."""
+    nd, d, n2 = out.shape
+    return jnp.moveaxis(out, 1, 2).reshape(nd, d * n2)
+
+
+def ntt_reference(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return ntt(x, k)

@@ -66,10 +66,16 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
     n_buckets = 1 << window_bits
     keys = jnp.where(p_inf[None, :], 0, keys.astype(jnp.int32))
     order = jnp.argsort(keys, axis=1)  # (W, N) stable
+    sorted_keys = jnp.take_along_axis(keys, order, axis=1)
 
-    counts = jnp.zeros((n_windows, n_buckets), jnp.int32)
-    counts = counts.at[jnp.repeat(jnp.arange(n_windows), n), keys.reshape(-1)].add(1)
-    seg_start = jnp.cumsum(counts, axis=1) - counts  # exclusive prefix (W, B)
+    # Histogram via per-window binary search over the sorted keys — a scatter
+    # here would bake O(W*N) constant indices into the graph (this XLA build
+    # lowers scatters pathologically; compile time became O(N)).
+    targets = jnp.arange(n_buckets, dtype=jnp.int32)
+    seg_start = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="left"))(sorted_keys)
+    seg_end = jax.vmap(lambda row: jnp.searchsorted(row, targets, side="right"))(sorted_keys)
+    counts = (seg_end - seg_start).astype(jnp.int32)
+    seg_start = seg_start.astype(jnp.int32)
     counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
 
     acc = _inf_points((n_windows, n_buckets))
@@ -113,19 +119,37 @@ def _window_sums(buckets, n_buckets: int):
     return t
 
 
+def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -> list[ech.Point]:
+    """Batched MSMs sharing one base set: scalar_digits_multi is (P, 32, N);
+    returns P host affine results. The poly axis folds into the window axis,
+    so P commitments cost one kernel invocation (bucket rounds amortize) —
+    the natural shape for committing a whole proof phase's columns at once."""
+    sd = jnp.asarray(scalar_digits_multi)
+    assert sd.ndim == 3
+    n_polys = sd.shape[0]
+    keys = jax.vmap(lambda s: _keys_from_digits(s, window_bits))(sd)  # (P, W, N)
+    n_windows = keys.shape[1]
+    keys = keys.reshape(n_polys * n_windows, -1)
+    buckets = _bucket_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits
+    )
+    tw = _window_sums(buckets, 1 << window_bits)
+    pts = bn254.unpack_jacobian(tw)  # (P*W) window sums, poly-major
+    out = []
+    for pi in range(n_polys):
+        acc = None
+        for p in reversed(pts[pi * n_windows : (pi + 1) * n_windows]):
+            for _ in range(window_bits):
+                acc = ech.g1_double(acc)
+            acc = ech.g1_add(acc, p)
+        out.append(acc)
+    return out
+
+
 def msm_packed(px, py, p_inf, scalar_digits, window_bits: int = 8) -> ech.Point:
     """MSM over pre-packed affine bases and standard-form scalar digits.
     Returns the host affine result (final Horner combine on host)."""
-    keys = _keys_from_digits(jnp.asarray(scalar_digits), window_bits)
-    buckets = _bucket_accumulate(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits)
-    tw = _window_sums(buckets, 1 << window_bits)
-    pts = bn254.unpack_jacobian(tw)  # window sums, LSB window first
-    acc = None
-    for p in reversed(pts):
-        for _ in range(window_bits):
-            acc = ech.g1_double(acc)
-        acc = ech.g1_add(acc, p)
-    return acc
+    return msm_packed_multi(px, py, p_inf, jnp.asarray(scalar_digits)[None], window_bits)[0]
 
 
 def msm(points: list[ech.Point], scalars: list[int], window_bits: int = 8) -> ech.Point:

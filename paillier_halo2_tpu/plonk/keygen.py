@@ -1,0 +1,179 @@
+"""Key generation — replacement for halo2-axiom's keygen_vk/keygen_pk
+(SURVEY.md section 2.2, "PLONKish core"; bench use-site
+/root/reference/src/bench.rs:165-178).
+
+The proving key precomputes, once per circuit shape: the column layout, every
+fixed polynomial (selectors, constant column, range table, permutation sigmas,
+active-row indicator, boundary Lagrange polys) in value + Montgomery
+coefficient form on device, and their commitments (the verifying key).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ec import host as ech
+from ..ff import host
+from ..gadgets.context import VirtualTable
+from ..harness.base_test import BLINDING_ROWS
+from ..poly import ops
+from .kzg import commit_many
+from .layout import CircuitLayout, assign_layout
+from .srs import SRS
+
+P = host.FR_MOD
+
+# delta: generator of the 2^28-torsion-free part of Fr* — coset representatives
+# delta^j H are pairwise disjoint for the permutation identity columns.
+DELTA = pow(host.FR_GENERATOR, 1 << host.FR_TWO_ADICITY, P)
+
+EXTENDED_RATE_BITS = 2  # max constraint degree 4 -> extended domain 4n
+PERM_CHUNK = 2  # permutation columns per grand-product (degree 2+PERM_CHUNK)
+
+
+@dataclasses.dataclass
+class VerifyingKey:
+    k: int
+    lookup_bits: int
+    num_advice: int
+    num_lookup_advice: int
+    n_perm_cols: int
+    perm_chunks: list[list[int]]
+    usable: int
+    advice_blind: None = None  # placeholder for future zk audit metadata
+    # fixed commitments
+    q_commits: list[ech.Point] = dataclasses.field(default_factory=list)
+    fixed_const_commit: ech.Point = None
+    table_commit: ech.Point = None
+    sigma_commits: list[ech.Point] = dataclasses.field(default_factory=list)
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    def fixed_commitments(self) -> list[ech.Point]:
+        return [*self.q_commits, self.fixed_const_commit, self.table_commit, *self.sigma_commits]
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    layout: CircuitLayout
+    srs: SRS
+    # device Montgomery coefficient forms
+    q_coeffs: list[jnp.ndarray]
+    fixed_const_coeffs: jnp.ndarray
+    table_coeffs: jnp.ndarray
+    sigma_coeffs: list[jnp.ndarray]
+    active_coeffs: jnp.ndarray
+    l0_coeffs: jnp.ndarray
+    lu_coeffs: jnp.ndarray
+    id_values: np.ndarray  # (n_perm_cols, n) object ints delta^j * omega^r
+    sigma_values: np.ndarray  # (n_perm_cols, n) object ints
+    table_values: np.ndarray  # (n,) object ints
+    fixed_const_values: np.ndarray
+
+    @property
+    def k(self) -> int:
+        return self.vk.k
+
+
+def _values_to_coeffs(vals) -> jnp.ndarray:
+    import math
+
+    arr = ops.to_device_mont(vals)
+    k = int(math.log2(arr.shape[1]))
+    return ops.coeffs_of(arr, k)
+
+
+def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKey:
+    assert srs.k >= k
+    layout = assign_layout(table, k, lookup_bits)
+    n = 1 << k
+    usable = n - BLINDING_ROWS
+    na = layout.num_advice
+    nl = layout.num_lookup_advice
+    n_perm_cols = layout.n_perm_cols
+
+    # -- fixed value columns -------------------------------------------------
+    q_vals = [layout.q[c].astype(object) for c in range(na)]
+    fixed_const_vals = layout.fixed_const
+    assert (1 << lookup_bits) <= usable, "range table does not fit active region"
+    table_vals = np.zeros(n, dtype=object)
+    for i in range(1 << lookup_bits):
+        table_vals[i] = i
+
+    omega_pows = [1] * n
+    w = host.root_of_unity(k)
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * w % P
+    delta_pows = [1] * n_perm_cols
+    for j in range(1, n_perm_cols):
+        delta_pows[j] = delta_pows[j - 1] * DELTA % P
+
+    id_values = np.empty((n_perm_cols, n), dtype=object)
+    sigma_values = np.empty((n_perm_cols, n), dtype=object)
+    for j in range(n_perm_cols):
+        dj = delta_pows[j]
+        for r in range(n):
+            id_values[j, r] = dj * omega_pows[r] % P
+    sc, sr = layout.sigma_col, layout.sigma_row
+    for j in range(n_perm_cols):
+        for r in range(n):
+            sigma_values[j, r] = delta_pows[sc[j, r]] * omega_pows[sr[j, r]] % P
+
+    active_vals = np.zeros(n, dtype=object)
+    active_vals[:usable] = 1
+    l0_vals = np.zeros(n, dtype=object)
+    l0_vals[0] = 1
+    lu_vals = np.zeros(n, dtype=object)
+    lu_vals[usable] = 1
+
+    # -- coefficient forms + commitments ------------------------------------
+    q_coeffs = [_values_to_coeffs(v) for v in q_vals]
+    fixed_const_coeffs = _values_to_coeffs(fixed_const_vals)
+    table_coeffs = _values_to_coeffs(table_vals)
+    sigma_coeffs = [_values_to_coeffs(sigma_values[j]) for j in range(n_perm_cols)]
+    active_coeffs = _values_to_coeffs(active_vals)
+    l0_coeffs = _values_to_coeffs(l0_vals)
+    lu_coeffs = _values_to_coeffs(lu_vals)
+
+    perm_chunks = [
+        list(range(s, min(s + PERM_CHUNK, n_perm_cols)))
+        for s in range(0, n_perm_cols, PERM_CHUNK)
+    ]
+
+    all_commits = commit_many(
+        srs, q_coeffs + [fixed_const_coeffs, table_coeffs] + sigma_coeffs
+    )
+    vk = VerifyingKey(
+        k=k,
+        lookup_bits=lookup_bits,
+        num_advice=na,
+        num_lookup_advice=nl,
+        n_perm_cols=n_perm_cols,
+        perm_chunks=perm_chunks,
+        usable=usable,
+        q_commits=all_commits[:na],
+        fixed_const_commit=all_commits[na],
+        table_commit=all_commits[na + 1],
+        sigma_commits=all_commits[na + 2 :],
+    )
+    return ProvingKey(
+        vk=vk,
+        layout=layout,
+        srs=srs,
+        q_coeffs=q_coeffs,
+        fixed_const_coeffs=fixed_const_coeffs,
+        table_coeffs=table_coeffs,
+        sigma_coeffs=sigma_coeffs,
+        active_coeffs=active_coeffs,
+        l0_coeffs=l0_coeffs,
+        lu_coeffs=lu_coeffs,
+        id_values=id_values,
+        sigma_values=sigma_values,
+        table_values=table_vals,
+        fixed_const_values=fixed_const_vals,
+    )

@@ -1,0 +1,221 @@
+"""Proof verification — replacement for halo2-axiom's verify_proof
+(SURVEY.md section 2.2; use-site /root/reference/src/bench.rs:177). Pure host
+arithmetic: transcript replay, the quotient identity at the challenge point
+(closed forms for Lagrange/vanishing/id polynomials), and the final
+2-pairing KZG check. Constraint order MUST mirror prover.py exactly.
+"""
+from __future__ import annotations
+
+from ..ec import host as ech
+from ..ec.pairing import pairing_check
+from ..ff import host
+from .keygen import DELTA, VerifyingKey
+from .srs import SRS
+from .transcript import TranscriptReader
+
+P = host.FR_MOD
+
+
+def _lagrange_at(i: int, x: int, n: int, omega: int) -> int:
+    """l_i(x) = omega^i (x^n - 1) / (n (x - omega^i))."""
+    wi = pow(omega, i, P)
+    num = wi * (pow(x, n, P) - 1) % P
+    den = n * (x - wi) % P
+    return num * pow(den, P - 2, P) % P
+
+
+def verify_proof(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
+    try:
+        return _verify(vk, srs, proof)
+    except (ValueError, AssertionError):
+        return False
+
+
+def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
+    k, n, usable = vk.k, vk.n, vk.usable
+    na, nl = vk.num_advice, vk.num_lookup_advice
+    nz = len(vk.perm_chunks)
+    npc = vk.n_perm_cols
+    tr = TranscriptReader(proof)
+    for c in vk.fixed_commitments():
+        tr.common_point(c)
+
+    adv_commits = [tr.read_point() for _ in range(na)]
+    lk_commits = [tr.read_point() for _ in range(nl)]
+    ap_commits = [tr.read_point() for _ in range(nl)]
+    sp_commits = [tr.read_point() for _ in range(nl)]
+    beta = tr.squeeze_challenge()
+    gamma = tr.squeeze_challenge()
+    zp_commits = [tr.read_point() for _ in range(nz)]
+    zl_commits = [tr.read_point() for _ in range(nl)]
+    y = tr.squeeze_challenge()
+    n_pieces = 3
+    t_commits = [tr.read_point() for _ in range(n_pieces)]
+    x = tr.squeeze_challenge()
+
+    w1 = host.root_of_unity(k)
+    points = {
+        "x": x,
+        "wx": x * w1 % P,
+        "w2x": x * pow(w1, 2, P) % P,
+        "w3x": x * pow(w1, 3, P) % P,
+        "winvx": x * pow(w1, P - 2, P) % P,
+        "wux": x * pow(w1, usable, P) % P,
+    }
+
+    # ---- read evals (same nested order as the prover) ----------------------
+    # at x: advice, lookup advice, q, fixed_const, table, sigmas, perm Zs,
+    #       lookup Zs, A', S', t pieces
+    counts_x = na + nl + na + 1 + 1 + npc + nz + nl + nl + nl + n_pieces
+    evx = [tr.read_scalar() for _ in range(counts_x)]
+    evwx = [tr.read_scalar() for _ in range(na + nz + nl)]
+    evw2x = [tr.read_scalar() for _ in range(na)]
+    evw3x = [tr.read_scalar() for _ in range(na)]
+    evwinvx = [tr.read_scalar() for _ in range(nl)]
+    evwux = [tr.read_scalar() for _ in range(nz - 1 if nz > 1 else 0)]
+
+    idx = 0
+
+    def take(m):
+        nonlocal idx
+        out = evx[idx : idx + m]
+        idx += m
+        return out
+
+    adv_x = take(na)
+    lk_x = take(nl)
+    q_x = take(na)
+    (fc_x,) = take(1)
+    (table_x,) = take(1)
+    sigma_x = take(npc)
+    zp_x = take(nz)
+    zl_x = take(nl)
+    ap_x = take(nl)
+    sp_x = take(nl)
+    t_x = take(n_pieces)
+    assert idx == counts_x
+
+    adv_wx = evwx[:na]
+    zp_wx = evwx[na : na + nz]
+    zl_wx = evwx[na + nz :]
+    ap_winvx = evwinvx
+
+    # ---- closed-form fixed evals ------------------------------------------
+    xn = pow(x, n, P)
+    zh_x = (xn - 1) % P
+    l0_x = _lagrange_at(0, x, n, w1)
+    lu_x = _lagrange_at(usable, x, n, w1)
+    active_x = (1 - sum(_lagrange_at(i, x, n, w1) for i in range(usable, n))) % P
+
+    # ---- quotient identity at x (order mirrors prover.emit) ---------------
+    constraints = []
+    for c in range(na):
+        constraints.append(
+            q_x[c] * (adv_x[c] + adv_wx[c] * evw2x[c] - evw3x[c]) % P
+        )
+    constraints.append(l0_x * (zp_x[0] - 1) % P)
+
+    def perm_col_eval(j: int) -> int:
+        if j < na:
+            return adv_x[j]
+        if j < na + nl:
+            return lk_x[j - na]
+        return fc_x
+
+    for ci, chunk in enumerate(vk.perm_chunks):
+        lhs = zp_wx[ci]
+        rhs = zp_x[ci]
+        for j in chunk:
+            col = perm_col_eval(j)
+            lhs = lhs * ((col + beta * sigma_x[j] + gamma) % P) % P
+            idj = pow(DELTA, j, P) * x % P
+            rhs = rhs * ((col + beta * idj + gamma) % P) % P
+        constraints.append(active_x * (lhs - rhs) % P)
+    for ci in range(1, nz):
+        constraints.append(l0_x * (zp_x[ci] - evwux[ci - 1]) % P)
+    constraints.append(lu_x * (zp_x[-1] - 1) % P)
+
+    for i in range(nl):
+        constraints.append(l0_x * (zl_x[i] - 1) % P)
+        constraints.append(lu_x * (zl_x[i] - 1) % P)
+        lhs = zl_wx[i] * ((ap_x[i] + beta) % P) % P * ((sp_x[i] + gamma) % P) % P
+        rhs = zl_x[i] * ((lk_x[i] + beta) % P) % P * ((table_x + gamma) % P) % P
+        constraints.append(active_x * (lhs - rhs) % P)
+        d1 = (ap_x[i] - sp_x[i]) % P
+        d2 = (ap_x[i] - ap_winvx[i]) % P
+        constraints.append(active_x * d1 % P * d2 % P)
+        constraints.append(l0_x * d1 % P)
+
+    acc = 0
+    for cst in constraints:
+        acc = (acc * y + cst) % P
+
+    t_eval = 0
+    for j in range(n_pieces - 1, -1, -1):
+        t_eval = (t_eval * xn + t_x[j]) % P
+    if acc != t_eval * zh_x % P:
+        return False
+
+    # ---- GWC multiopen ------------------------------------------------------
+    nu = tr.squeeze_challenge()
+
+    # (commitment, eval) lists per point, mirroring the prover's combine order.
+    fixed = vk
+    at_x_pairs = (
+        list(zip(adv_commits, adv_x))
+        + list(zip(lk_commits, lk_x))
+        + list(zip(fixed.q_commits, q_x))
+        + [(fixed.fixed_const_commit, fc_x), (fixed.table_commit, table_x)]
+        + list(zip(fixed.sigma_commits, sigma_x))
+        + list(zip(zp_commits, zp_x))
+        + list(zip(zl_commits, zl_x))
+        + list(zip(ap_commits, ap_x))
+        + list(zip(sp_commits, sp_x))
+        + list(zip(t_commits, t_x))
+    )
+    at_wx_pairs = (
+        list(zip(adv_commits, adv_wx))
+        + list(zip(zp_commits, zp_wx))
+        + list(zip(zl_commits, zl_wx))
+    )
+    at_w2x_pairs = list(zip(adv_commits, evw2x))
+    at_w3x_pairs = list(zip(adv_commits, evw3x))
+    at_winvx_pairs = list(zip(ap_commits, ap_winvx))
+    at_wux_pairs = list(zip(zp_commits[: nz - 1], evwux)) if nz > 1 else []
+    opening_sets = [
+        ("x", at_x_pairs),
+        ("wx", at_wx_pairs),
+        ("w2x", at_w2x_pairs),
+        ("w3x", at_w3x_pairs),
+        ("winvx", at_winvx_pairs),
+        ("wux", at_wux_pairs),
+    ]
+    opening_sets = [(key, prs) for key, prs in opening_sets if prs]
+
+    w_commits = [tr.read_point() for _ in opening_sets]
+    u = tr.squeeze_challenge()
+    tr.assert_consumed()
+
+    # e(sum u^j W_j, [tau]_2) == e(sum u^j (z_j W_j + F_j - v_j G), [1]_2)
+    lhs_pt = None
+    rhs_pt = None
+    upow = 1
+    for (key, pairs), wc in zip(opening_sets, w_commits):
+        z = points[key]
+        fj = None
+        vj = 0
+        for cm, e in pairs:
+            fj = ech.g1_add(ech.g1_mul(fj, nu) if fj else None, cm)
+            vj = (vj * nu + e) % P
+        term = ech.g1_add(ech.g1_mul(wc, z), fj)
+        term = ech.g1_add(term, ech.g1_neg(ech.g1_mul(ech.G1, vj)))
+        lhs_pt = ech.g1_add(lhs_pt, ech.g1_mul(wc, upow))
+        rhs_pt = ech.g1_add(rhs_pt, ech.g1_mul(term, upow))
+        upow = upow * u % P
+
+    return pairing_check(
+        [
+            (lhs_pt, srs.g2_tau),
+            (ech.g1_neg(rhs_pt), srs.g2_gen),
+        ]
+    )

@@ -14,7 +14,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This XLA CPU build's fusion pass duplicates expensive producers into every
+# consumer: big fused field-arithmetic graphs run ~40x slower than unfused
+# (measured on the Jacobian point-double). Disable fusion for CPU tests.
+if "xla_disable_hlo_passes" not in flags:
+    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (already imported by sitecustomize; config still open)
@@ -24,3 +30,5 @@ jax.config.update("jax_platforms", "cpu")
 from paillier_halo2_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
 setup_compilation_cache()
+
+os.environ.setdefault("PAILLIER_TPU_MSM_WINDOW", "4")

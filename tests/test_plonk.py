@@ -1,0 +1,84 @@
+"""End-to-end KZG proof generation + verification on a small Paillier circuit
+(the reference's bench path, /root/reference/src/bench.rs:161-178, at reduced
+geometry for test speed)."""
+import random
+
+import pytest
+
+from paillier_halo2_tpu.bignum.host import paillier_add_native
+from paillier_halo2_tpu.gadgets import (
+    BigUintChip,
+    Context,
+    EncryptionPublicKeyAssigned,
+    PaillierChip,
+)
+from paillier_halo2_tpu.gadgets.range import RangeChip
+from paillier_halo2_tpu.mock.prover import mock_prove_host
+from paillier_halo2_tpu.plonk.keygen import keygen
+from paillier_halo2_tpu.plonk.prover import create_proof
+from paillier_halo2_tpu.plonk.srs import generate_srs
+from paillier_halo2_tpu.plonk.verifier import verify_proof
+
+RNG = random.Random(777)
+
+K = 10
+LOOKUP_BITS = 8
+ENC, LIMB = 16, 8
+
+
+def _add_circuit(ctx, rc, inp):
+    """Homomorphic-add circuit (1 mul_mod) — small enough for a fast CPU
+    end-to-end proof; the encryption circuit is exercised on TPU in bench."""
+    n, g, c1, c2, res = inp
+    bu = BigUintChip(rc, LIMB)
+    pc = PaillierChip.construct(bu, ENC)
+    pk = EncryptionPublicKeyAssigned(bu.assign_integer(n, ENC), bu.assign_integer(g, ENC))
+    c = pc.add(pk, bu.assign_integer(c1, ENC), bu.assign_integer(c2, ENC))
+    res_a = bu.assign_integer(res, ENC * 2)
+    assert c.value() == res_a.value()
+    bu.assert_equal_fresh(c, res_a)
+
+
+def _build(inp):
+    ctx = Context()
+    rc = RangeChip(ctx, LOOKUP_BITS)
+    _add_circuit(ctx, rc, inp)
+    return ctx.finalize()
+
+
+@pytest.fixture(scope="module")
+def proof_setup():
+    n = RNG.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+    g, c1, c2 = (RNG.getrandbits(ENC) for _ in range(3))
+    res = paillier_add_native(n, c1, c2)
+    table = _build((n, g, c1, c2, res))
+    assert mock_prove_host(table, LOOKUP_BITS).satisfied
+    srs = generate_srs(K, seed=b"plonk-test")
+    pk = keygen(table, K, LOOKUP_BITS, srs)
+    proof = create_proof(pk, table, blinding_seed=b"test-blind")
+    return srs, pk, proof, table
+
+
+def test_proof_verifies(proof_setup):
+    srs, pk, proof, _ = proof_setup
+    assert verify_proof(pk.vk, srs, proof)
+
+
+def test_proof_deterministic(proof_setup):
+    srs, pk, proof, table = proof_setup
+    proof2 = create_proof(pk, table, blinding_seed=b"test-blind")
+    assert proof == proof2
+
+
+def test_tampered_proof_rejected(proof_setup):
+    srs, pk, proof, _ = proof_setup
+    for pos in [0, len(proof) // 2, len(proof) - 1]:
+        bad = bytearray(proof)
+        bad[pos] ^= 1
+        assert not verify_proof(pk.vk, srs, bytes(bad))
+
+
+def test_truncated_proof_rejected(proof_setup):
+    srs, pk, proof, _ = proof_setup
+    assert not verify_proof(pk.vk, srs, proof[:-32])
+    assert not verify_proof(pk.vk, srs, proof + b"\x00" * 32)

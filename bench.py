@@ -1,0 +1,116 @@
+"""Round benchmark — run by the driver on real TPU hardware.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: Pippenger MSM throughput per chip (the dominant prover
+kernel, SURVEY.md section 3.3 hot loops). Extras report the speed-of-light
+mulmod throughput (north-star per-chip metric) and, when the full pipeline
+is enabled, proof times on the reference bench geometry.
+
+The reference publishes no numbers (BASELINE.md): vs_baseline compares to
+the previous round's value when BENCH_r*.json exists, else 1.0.
+"""
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from paillier_halo2_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    from paillier_halo2_tpu.ff import field_jax as f
+    from paillier_halo2_tpu.ff.pallas_mulmod import mont_mul_pallas
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    # ---- speed-of-light mulmod (Pallas on TPU, XLA elsewhere) -------------
+    N = 1 << 20
+    rng = np.random.default_rng(1)
+    a_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
+    b_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
+    a_np[31] &= 0x1F
+    b_np[31] &= 0x1F
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+
+    def mm(x, y):
+        if on_tpu:
+            return mont_mul_pallas(f.FR, x, y)
+        return f.mont_mul(f.FR, x, y)
+
+    r = mm(a, b)
+    jax.block_until_ready(r)
+    t0 = time.monotonic()
+    reps = 10
+    for _ in range(reps):
+        r = mm(r, b)
+    jax.block_until_ready(r)
+    mulmod_per_s = N * reps / (time.monotonic() - t0)
+    log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s")
+
+    # ---- MSM throughput ----------------------------------------------------
+    from paillier_halo2_tpu.ec import bn254, host as ech
+    from paillier_halo2_tpu.msm.pippenger import msm_packed
+
+    k_msm = int(os.environ.get("BENCH_MSM_LOG2", "17"))
+    n_pts = 1 << k_msm
+    # synthetic distinct bases: repeat a small set (correctness unaffected
+    # for throughput measurement; avoids 2^17 host scalar-mults)
+    base_pool = [ech.g1_mul(ech.G1, i + 1) for i in range(64)]
+    pts = (base_pool * ((n_pts + 63) // 64))[:n_pts]
+    px, py, pinf = bn254.pack_affine(pts)
+    scal = rng.integers(0, 2**63, n_pts)
+    scalars = [int(s) * 1234567891011 % ech.R for s in scal]
+    sd = f.pack_ints(scalars)
+    t0 = time.monotonic()
+    out = msm_packed(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf), jnp.asarray(sd))
+    t_first = time.monotonic() - t0
+    t0 = time.monotonic()
+    out = msm_packed(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf), jnp.asarray(sd))
+    t_msm = time.monotonic() - t0
+    log(f"msm 2^{k_msm}: first={t_first:.1f}s warm={t_msm:.2f}s")
+    msm_points_per_s = n_pts / t_msm
+
+    # ---- vs_baseline: previous round's value ------------------------------
+    vs = 1.0
+    prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+    if prev:
+        try:
+            with open(prev[-1]) as fh:
+                last = json.load(fh)
+            if last.get("unit") == "points/s/chip" and last.get("value"):
+                vs = msm_points_per_s / float(last["value"])
+        except Exception:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_points_per_s_2^{k_msm}",
+                "value": round(msm_points_per_s, 1),
+                "unit": "points/s/chip",
+                "vs_baseline": round(vs, 3),
+                "mulmod_per_s": round(mulmod_per_s, 1),
+                "msm_warm_s": round(t_msm, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,32 @@ def infinity_like(p: JPoint) -> JPoint:
     return (one, one, jnp.zeros_like(p[2]))
 
 
+# Fused Pallas kernel dispatch (see ec/pallas_point.py): on TPU, point adds
+# over batches at least this large run as one fused kernel instead of ~11-16
+# separate mulmod launches with HBM round-trips between them.
+PALLAS_POINT_MIN_LANES = 1024
+
+
+def _pallas_flatten(arrays, batch):
+    import numpy as onp
+
+    lanes = int(onp.prod(batch))
+    from .pallas_point import BLOCK
+
+    pad = (-lanes) % BLOCK
+    out = []
+    for a in arrays:
+        flat = jnp.broadcast_to(a, (N_DIGITS,) + batch).reshape(N_DIGITS, lanes)
+        out.append(jnp.pad(flat, [(0, 0), (0, pad)]) if pad else flat)
+    return out, lanes
+
+
+def _use_pallas_points(batch) -> bool:
+    import numpy as onp
+
+    return f._use_pallas() and int(onp.prod(batch)) >= PALLAS_POINT_MIN_LANES
+
+
 @jax.jit
 def pdouble(p: JPoint) -> JPoint:
     """dbl-2009-l (a=0): correct for infinity too (Z stays 0)."""
@@ -83,6 +109,13 @@ def padd(p: JPoint, q: JPoint) -> JPoint:
     P+inf, inf+Q, P+P (falls through to double), P+(-P) (infinity)."""
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
+    batch = jnp.broadcast_shapes(X1.shape[1:], X2.shape[1:])
+    if _use_pallas_points(batch):
+        from .pallas_point import padd_pallas
+
+        flat, lanes = _pallas_flatten([X1, Y1, Z1, X2, Y2, Z2], batch)
+        out = padd_pallas(SPEC, *flat)
+        return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
     z1z1 = _sqr(Z1)
     z2z2 = _sqr(Z2)
     u1 = _mul(X1, z2z2)
@@ -119,6 +152,17 @@ def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf) -> J
     madd-2007-bl shape, ~11 muls instead of ~16. `q_inf` is a batch mask."""
     X1, Y1, Z1 = p
     X2, Y2 = q_affine
+    batch = jnp.broadcast_shapes(X1.shape[1:], X2.shape[1:])
+    if _use_pallas_points(batch):
+        from .pallas_point import BLOCK, padd_mixed_pallas
+
+        flat, lanes = _pallas_flatten([X1, Y1, Z1, X2, Y2], batch)
+        qi = jnp.broadcast_to(q_inf, batch).reshape(lanes)
+        pad = (-lanes) % BLOCK
+        if pad:
+            qi = jnp.pad(qi, (0, pad), constant_values=True)
+        out = padd_mixed_pallas(SPEC, *flat, qi)
+        return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
     z1z1 = _sqr(Z1)
     u2 = _mul(X2, z1z1)
     s2 = _mul(Y2, _mul(Z1, z1z1))

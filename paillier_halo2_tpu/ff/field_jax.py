@@ -281,14 +281,50 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(is_zero, a, d)
 
 
+# Pallas kernel dispatch: on TPU, batched Montgomery products above this lane
+# count run as the fused MXU kernel (ff/pallas_mulmod.py). Resolved lazily so
+# importing this module never initializes a backend.
+_PALLAS_ENABLED: bool | None = None
+PALLAS_MIN_LANES = 2048
+
+
+def _use_pallas() -> bool:
+    global _PALLAS_ENABLED
+    if _PALLAS_ENABLED is None:
+        import os
+
+        if os.environ.get("PAILLIER_TPU_FORCE_XLA_MUL"):
+            _PALLAS_ENABLED = False
+        else:
+            try:
+                _PALLAS_ENABLED = jax.devices()[0].platform != "cpu"
+            except Exception:
+                _PALLAS_ENABLED = False
+    return _PALLAS_ENABLED
+
+
 @partial(jax.jit, static_argnums=(0,))
 def mont_mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod p on normalized digit vectors.
 
     Whole-R REDC: t = a*b; m = (t mod R)*mu mod R; out = (t + m*p) / R.
     Three convolutions; mu- and p-convolutions have constant operands.
+    On TPU, large batches dispatch to the fused Pallas MXU kernel.
     """
     nd = spec.n_digits
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    lanes = int(np.prod(batch)) if batch else 0
+    if _use_pallas() and lanes >= PALLAS_MIN_LANES:
+        from .pallas_mulmod import BLOCK, mont_mul_pallas
+
+        af = jnp.broadcast_to(a, (nd,) + batch).reshape(nd, lanes)
+        bf = jnp.broadcast_to(b, (nd,) + batch).reshape(nd, lanes)
+        pad = (-lanes) % BLOCK
+        if pad:
+            af = jnp.pad(af, [(0, 0), (0, pad)])
+            bf = jnp.pad(bf, [(0, 0), (0, pad)])
+        out = mont_mul_pallas(spec, af, bf)
+        return out[:, :lanes].reshape((nd,) + batch)
     batch_ndim = a.ndim - 1
     t = conv_digits(a, b)  # 2*nd-1 digits, < 2^22
     t_lo = carry_normalize(t[:nd], max_digit=nd * DIGIT_MASK * DIGIT_MASK)

@@ -102,21 +102,34 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def _window_sums(buckets, n_buckets: int):
-    """T_w = sum_b b * B_{w,b} via the suffix-sum identity, as a sequential
-    fold (S accumulates the suffix, T the sum of suffixes)."""
-    n_windows = buckets[0].shape[1]
+    """T_w = sum_b b * B_{w,b} via the suffix-sum identity
+    T = sum_{b>=1} S_b with S_b = sum_{b'>=b} B_{b'}, computed at full
+    (W, B) lane width in log depth: a Hillis-Steele suffix scan
+    (log2 B masked point-adds) then a pairwise tree reduction over the
+    bucket axis (log2 B more) — 2*log2(B) sequential adds instead of
+    2*(B-1), keeping the batch large enough for the Pallas mulmod path."""
+    idx = jnp.arange(n_buckets)
+    log_b = n_buckets.bit_length() - 1
 
-    def body(i, st):
-        s, t = st
-        b = n_buckets - 1 - i
-        bb = tuple(jax.lax.dynamic_index_in_dim(c, b, axis=2, keepdims=False) for c in buckets)
-        s = bn254.padd(s, bb)
-        t = bn254.padd(t, s)
-        return (s, t)
+    def masked(p: bn254.JPoint, valid) -> bn254.JPoint:
+        # invalid lanes become infinity (Z = 0); padd resolves them.
+        return (p[0], p[1], jnp.where(valid, p[2], 0))
 
-    inf = _inf_points((n_windows,))
-    _, t = jax.lax.fori_loop(0, n_buckets - 1, body, (inf, inf))
-    return t
+    def scan_body(i, s):
+        step = 1 << i  # traced: jnp.roll accepts dynamic shifts
+        shifted = tuple(jnp.roll(c, -step, axis=2) for c in s)
+        return bn254.padd(s, masked(shifted, idx < n_buckets - step))
+
+    s = jax.lax.fori_loop(0, log_b, scan_body, buckets)
+
+    def reduce_body(i, t):
+        half = n_buckets >> (i + 1)
+        shifted = tuple(jnp.roll(c, -half, axis=2) for c in t)
+        return masked(bn254.padd(t, shifted), idx < half)
+
+    t = masked(s, idx >= 1)  # drop S_0 (bucket weight starts at 1)
+    t = jax.lax.fori_loop(0, log_b, reduce_body, t)
+    return tuple(c[:, :, 0] for c in t)
 
 
 def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -> list[ech.Point]:

@@ -13,6 +13,13 @@ Fq2 = tuple[int, int]  # c0 + c1*u, u^2 = -1
 PointG2 = tuple[Fq2, Fq2] | None
 
 
+def _native():
+    """The C++ host engine (native/bn254.cpp), or None — lazy, import-safe."""
+    from .. import native
+
+    return native if native.lib() is not None else None
+
+
 # -- G1 (over Fq) ------------------------------------------------------------
 
 
@@ -34,6 +41,9 @@ def g1_add(p: Point, q: Point) -> Point:
         return q
     if q is None:
         return p
+    nat = _native()
+    if nat is not None:
+        return nat.g1_add(p, q)
     x1, y1 = p
     x2, y2 = q
     if x1 == x2:
@@ -53,6 +63,9 @@ def g1_double(p: Point) -> Point:
 
 def g1_mul(p: Point, k: int) -> Point:
     k %= R
+    nat = _native()
+    if nat is not None:
+        return nat.g1_mul(p, k)
     acc = None
     while k:
         if k & 1:
@@ -63,6 +76,9 @@ def g1_mul(p: Point, k: int) -> Point:
 
 
 def g1_msm(points: list[Point], scalars: list[int]) -> Point:
+    nat = _native()
+    if nat is not None:
+        return nat.g1_msm(points, [s % R for s in scalars])
     acc = None
     for p, s in zip(points, scalars):
         acc = g1_add(acc, g1_mul(p, s))

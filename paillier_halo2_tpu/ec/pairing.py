@@ -230,7 +230,13 @@ def pairing(p: Point, q: PointG2) -> FQ12:
 
 
 def pairing_check(pairs: list[tuple[Point, PointG2]]) -> bool:
-    """prod e(P_i, Q_i) == 1 — the KZG verification equation shape."""
+    """prod e(P_i, Q_i) == 1 — the KZG verification equation shape.
+    Dispatches to the native C++ engine (native/bn254.cpp) when available."""
+    from .host import _native
+
+    nat = _native()
+    if nat is not None:
+        return nat.pairing_check(pairs)
     acc = FQ12.one()
     for p, q in pairs:
         acc = acc * miller_loop(_twist(q), _cast_g1(p))

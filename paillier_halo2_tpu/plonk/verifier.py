@@ -6,6 +6,8 @@ arithmetic: transcript replay, the quotient identity at the challenge point
 """
 from __future__ import annotations
 
+import os
+
 from ..ec import host as ech
 from ..ec.pairing import pairing_check
 from ..ff import host
@@ -154,6 +156,8 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
     for j in range(n_pieces - 1, -1, -1):
         t_eval = (t_eval * xn + t_x[j]) % P
     if acc != t_eval * zh_x % P:
+        if os.environ.get("PAILLIER_TPU_TRACE"):
+            print("[verifier] quotient identity FAILED at x", flush=True)
         return False
 
     # ---- GWC multiopen ------------------------------------------------------
@@ -213,9 +217,12 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
         rhs_pt = ech.g1_add(rhs_pt, ech.g1_mul(term, upow))
         upow = upow * u % P
 
-    return pairing_check(
+    ok = pairing_check(
         [
             (lhs_pt, srs.g2_tau),
             (ech.g1_neg(rhs_pt), srs.g2_gen),
         ]
     )
+    if not ok and os.environ.get("PAILLIER_TPU_TRACE"):
+        print("[verifier] pairing check FAILED (quotient identity held)", flush=True)
+    return ok

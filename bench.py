@@ -64,16 +64,16 @@ def main():
     log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s")
 
     # ---- MSM throughput ----------------------------------------------------
-    from paillier_halo2_tpu.ec import bn254, host as ech
+    from paillier_halo2_tpu.ec import host as ech
     from paillier_halo2_tpu.msm.pippenger import msm_packed
+    from paillier_halo2_tpu.plonk.srs import read_or_create_srs
 
     k_msm = int(os.environ.get("BENCH_MSM_LOG2", "17"))
     n_pts = 1 << k_msm
-    # synthetic distinct bases: repeat a small set (correctness unaffected
-    # for throughput measurement; avoids 2^17 host scalar-mults)
-    base_pool = [ech.g1_mul(ech.G1, i + 1) for i in range(64)]
-    pts = (base_pool * ((n_pts + 63) // 64))[:n_pts]
-    px, py, pinf = bn254.pack_affine(pts)
+    # real distinct bases: the dev SRS powers-of-tau (generated on device,
+    # cached under params/) — the exact base set every commitment uses
+    srs = read_or_create_srs(k_msm)
+    px, py, pinf = srs.g1_px, srs.g1_py, srs.g1_inf
     scal = rng.integers(0, 2**63, n_pts)
     scalars = [int(s) * 1234567891011 % ech.R for s in scal]
     sd = f.pack_ints(scalars)

@@ -131,14 +131,22 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
     lu_vals = np.zeros(n, dtype=object)
     lu_vals[usable] = 1
 
-    # -- coefficient forms + commitments ------------------------------------
-    q_coeffs = [_values_to_coeffs(v) for v in q_vals]
-    fixed_const_coeffs = _values_to_coeffs(fixed_const_vals)
-    table_coeffs = _values_to_coeffs(table_vals)
-    sigma_coeffs = [_values_to_coeffs(sigma_values[j]) for j in range(n_perm_cols)]
-    active_coeffs = _values_to_coeffs(active_vals)
-    l0_coeffs = _values_to_coeffs(l0_vals)
-    lu_coeffs = _values_to_coeffs(lu_vals)
+    # -- coefficient forms + commitments (ONE batched iNTT for all fixed
+    # polynomials: selectors, const, table, sigmas, active, l0, lu) ---------
+    fixed_stack = np.stack(
+        q_vals
+        + [fixed_const_vals, table_vals]
+        + [sigma_values[j] for j in range(n_perm_cols)]
+        + [active_vals, l0_vals, lu_vals]
+    )
+    all_coeffs = ops.coeffs_of(ops.to_device_mont(fixed_stack), k)
+    q_coeffs = [all_coeffs[:, i] for i in range(na)]
+    fixed_const_coeffs = all_coeffs[:, na]
+    table_coeffs = all_coeffs[:, na + 1]
+    sigma_coeffs = [all_coeffs[:, na + 2 + j] for j in range(n_perm_cols)]
+    active_coeffs = all_coeffs[:, na + 2 + n_perm_cols]
+    l0_coeffs = all_coeffs[:, na + 3 + n_perm_cols]
+    lu_coeffs = all_coeffs[:, na + 4 + n_perm_cols]
 
     perm_chunks = [
         list(range(s, min(s + PERM_CHUNK, n_perm_cols)))

@@ -82,17 +82,6 @@ def _permuted_lookup(a_active: np.ndarray, lookup_bits: int, usable: int):
     return a_sorted, s_sorted
 
 
-def _grand_product(frac: jnp.ndarray, usable: int, start_mont: jnp.ndarray):
-    """Z values over H: Z[0]=start, Z[r]=start*prod_{s<r} frac[s] for r<=usable.
-    frac must be 1 (Montgomery) at rows >= usable. Returns (values, end_scalar)."""
-    pref = ops.prefix_product(frac)  # inclusive
-    shifted = jnp.concatenate(
-        [jnp.asarray(f.pack_ints([SPEC.r_mod_p])), pref[:, :-1]], axis=1
-    )
-    z = f.mont_mul(SPEC, shifted, start_mont.reshape(-1, 1))
-    return z
-
-
 class _Evaluator:
     """Caches device power vectors per opening point."""
 
@@ -112,6 +101,16 @@ class _Evaluator:
     def eval(self, coeffs: jnp.ndarray, x: int) -> int:
         pw = self.powers(x)[:, : coeffs.shape[1]]
         return ops.from_device_mont(ops._sum_reduce(f.mont_mul(SPEC, coeffs, pw)))[0]
+
+    def eval_many(self, coeff_list: list[jnp.ndarray], x: int) -> list[int]:
+        """All polys at one point in a single device call (equal widths)."""
+        if not coeff_list:
+            return []
+        m = coeff_list[0].shape[1]
+        assert all(c.shape[1] == m for c in coeff_list)
+        stacked = jnp.stack(coeff_list, axis=1)  # (D, P, m)
+        pw = self.powers(x)[:, None, :m]
+        return ops.from_device_mont(ops._sum_reduce(f.mont_mul(SPEC, stacked, pw)))
 
 
 def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b"") -> bytes:
@@ -139,8 +138,12 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
     for i in range(nl):
         lk_vals[i] = _blind_tail(lk_vals[i], usable, blinding_seed, b"lk%d" % i)
 
-    adv_coeffs = [ops.coeffs_of(ops.to_device_mont(adv_vals[c]), k) for c in range(na)]
-    lk_coeffs = [ops.coeffs_of(ops.to_device_mont(lk_vals[i]), k) for i in range(nl)]
+    # One batched iNTT over every column of the phase (middle axis = column).
+    col_stack = ops.coeffs_of(
+        ops.to_device_mont(np.concatenate([adv_vals, lk_vals]) if nl else adv_vals), k
+    )
+    adv_coeffs = [col_stack[:, c] for c in range(na)]
+    lk_coeffs = [col_stack[:, na + i] for i in range(nl)]
     for pt in commit_many(pk.srs, adv_coeffs + lk_coeffs):
         tr.write_point(pt)
 
@@ -155,8 +158,12 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
         spv[:usable] = s_s.astype(object)
         ap_vals.append(_blind_tail(apv, usable, blinding_seed, b"ap%d" % i))
         sp_vals.append(_blind_tail(spv, usable, blinding_seed, b"sp%d" % i))
-    ap_coeffs = [ops.coeffs_of(ops.to_device_mont(v), k) for v in ap_vals]
-    sp_coeffs = [ops.coeffs_of(ops.to_device_mont(v), k) for v in sp_vals]
+    if nl:
+        asp_stack = ops.coeffs_of(ops.to_device_mont(np.stack(ap_vals + sp_vals)), k)
+        ap_coeffs = [asp_stack[:, i] for i in range(nl)]
+        sp_coeffs = [asp_stack[:, nl + i] for i in range(nl)]
+    else:
+        ap_coeffs, sp_coeffs = [], []
     for pt in commit_many(pk.srs, ap_coeffs + sp_coeffs):
         tr.write_point(pt)
 
@@ -169,7 +176,9 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
 
     # ---- 3. permutation grand products ------------------------------------
     # Permutation column j's value column: advice j (j<na), lookup advice
-    # (na<=j<na+nl), fixed const (j = na+nl).
+    # (na<=j<na+nl), fixed const (j = na+nl). All chunks batched: fractions,
+    # inverses, and prefix products run over a (D, chunks, n) tensor; only
+    # the chunk-chain starts (one scalar per chunk) touch the host.
     def perm_col_values(j: int) -> np.ndarray:
         if j < na:
             return adv_vals[j]
@@ -177,62 +186,80 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
             return lk_vals[j - na]
         return pk.fixed_const_values
 
-    perm_col_dev = [ops.to_device_mont(perm_col_values(j)) for j in range(vk.n_perm_cols)]
-    id_dev = [ops.to_device_mont(pk.id_values[j]) for j in range(vk.n_perm_cols)]
-    sig_dev = [ops.to_device_mont(pk.sigma_values[j]) for j in range(vk.n_perm_cols)]
+    npc = vk.n_perm_cols
+    perm_col_dev = ops.to_device_mont(np.stack([perm_col_values(j) for j in range(npc)]))
+    id_dev = ops.to_device_mont(pk.id_values)
+    sig_dev = ops.to_device_mont(pk.sigma_values)
 
     active_mask = np.zeros(n, dtype=bool)
     active_mask[:usable] = True
     act_dev = jnp.asarray(active_mask)
+    b3 = beta_m[:, None, :]
+    g3 = gamma_m[:, None, :]
 
     _mark("perm inputs packed")
-    z_vals_mont: list[jnp.ndarray] = []
-    start = 1
-    for chunk in vk.perm_chunks:
-        num = jnp.broadcast_to(one_m, (32, n))
-        den = jnp.broadcast_to(one_m, (32, n))
-        for j in chunk:
-            cj = perm_col_dev[j]
-            num = f.mont_mul(SPEC, num, f.add(SPEC, cj, f.add(SPEC, f.mont_mul(SPEC, beta_m, id_dev[j]), gamma_m)))
-            den = f.mont_mul(SPEC, den, f.add(SPEC, cj, f.add(SPEC, f.mont_mul(SPEC, beta_m, sig_dev[j]), gamma_m)))
-        frac = f.mont_mul(SPEC, num, ops.batch_inverse(den))
-        frac = jnp.where(act_dev[None, :], frac, jnp.broadcast_to(one_m, (32, n)))
-        z = _grand_product(frac, usable, ops.fr_digits_mont(start))
-        end = ops.from_device_mont(z[:, usable : usable + 1])[0]
-        zv = np.array(ops.from_device_mont(z), dtype=object)
-        zv = _blind_tail(zv, usable + 1, blinding_seed, b"zp%d" % len(z_vals_mont))
-        z_vals_mont.append(ops.to_device_mont(zv))
-        start = end
-    assert start == 1, "permutation product does not close (copy constraints unsatisfied?)"
+    num_f = f.add(SPEC, perm_col_dev, f.add(SPEC, f.mont_mul(SPEC, b3, id_dev), g3))
+    den_f = f.add(SPEC, perm_col_dev, f.add(SPEC, f.mont_mul(SPEC, b3, sig_dev), g3))
+    n_chunks = len(vk.perm_chunks)
+    pc = n_chunks * 2 - npc  # columns of padding to even chunks (PERM_CHUNK=2)
+    if pc:
+        pad_ones = jnp.broadcast_to(one_m[:, None, :], (32, pc, n))
+        num_f = jnp.concatenate([num_f, pad_ones], axis=1)
+        den_f = jnp.concatenate([den_f, pad_ones], axis=1)
+    num_c = f.mont_mul(SPEC, num_f[:, 0::2], num_f[:, 1::2])  # (D, C, n)
+    den_c = f.mont_mul(SPEC, den_f[:, 0::2], den_f[:, 1::2])
+    frac = f.mont_mul(SPEC, num_c, ops.batch_inverse(den_c))
+    frac = jnp.where(act_dev[None, None, :], frac, jnp.broadcast_to(one_m[:, None, :], frac.shape))
+    pref = ops.prefix_product(frac)  # (D, C, n) inclusive along rows
+    ends = ops.from_device_mont(pref[:, :, usable - 1 : usable])
+    starts = [1]
+    for e in ends:
+        starts.append(starts[-1] * e % P)
+    assert starts[-1] == 1, "permutation product does not close (copy constraints unsatisfied?)"
+    start_m = jnp.asarray(f.pack_ints([s * SPEC.r_mod_p % P for s in starts[:-1]]))[:, :, None]
+    shifted = jnp.concatenate(
+        [jnp.broadcast_to(one_m[:, None, :], (32, n_chunks, 1)), pref[:, :, :-1]], axis=2
+    )
+    z_all = f.mont_mul(SPEC, shifted, start_m)  # (D, C, n); z[c, usable] = end_c*start_c
+    zp_blind = np.empty((n_chunks, n - usable - 1), dtype=object)
+    for c in range(n_chunks):
+        for r in range(usable + 1, n):
+            h = hashlib.blake2b(blinding_seed + b"zp%d" % c + r.to_bytes(4, "little")).digest()
+            zp_blind[c, r - usable - 1] = int.from_bytes(h, "little") % P
+    z_all = z_all.at[:, :, usable + 1 :].set(ops.to_device_mont(zp_blind))
     _mark("perm Z computed")
 
-    zp_coeffs = [ops.coeffs_of(z, k) for z in z_vals_mont]
+    zp_stack = ops.coeffs_of(z_all, k)
+    zp_coeffs = [zp_stack[:, c] for c in range(n_chunks)]
 
-    # ---- 4. lookup grand products -----------------------------------------
+    # ---- 4. lookup grand products (batched over lookup columns) -----------
     table_dev = ops.to_device_mont(pk.table_values)
-    zl_coeffs = []
-    ap_dev = [ops.to_device_mont(v) for v in ap_vals]
-    sp_dev = [ops.to_device_mont(v) for v in sp_vals]
-    lk_dev = [ops.to_device_mont(v) for v in lk_vals]
-    for i in range(nl):
-        num = f.mont_mul(
-            SPEC,
-            f.add(SPEC, lk_dev[i], beta_m),
-            f.add(SPEC, table_dev, gamma_m),
+    if nl:
+        ap_dev = ops.to_device_mont(np.stack(ap_vals))
+        sp_dev = ops.to_device_mont(np.stack(sp_vals))
+        lk_dev = ops.to_device_mont(np.stack(lk_vals))
+        num_l = f.mont_mul(SPEC, f.add(SPEC, lk_dev, b3), f.add(SPEC, table_dev[:, None, :], g3))
+        den_l = f.mont_mul(SPEC, f.add(SPEC, ap_dev, b3), f.add(SPEC, sp_dev, g3))
+        frac_l = f.mont_mul(SPEC, num_l, ops.batch_inverse(den_l))
+        frac_l = jnp.where(
+            act_dev[None, None, :], frac_l, jnp.broadcast_to(one_m[:, None, :], frac_l.shape)
         )
-        den = f.mont_mul(
-            SPEC,
-            f.add(SPEC, ap_dev[i], beta_m),
-            f.add(SPEC, sp_dev[i], gamma_m),
+        pref_l = ops.prefix_product(frac_l)
+        ends_l = ops.from_device_mont(pref_l[:, :, usable - 1 : usable])
+        assert all(e == 1 for e in ends_l), "lookup product does not close (lookup unsatisfied?)"
+        shifted_l = jnp.concatenate(
+            [jnp.broadcast_to(one_m[:, None, :], (32, nl, 1)), pref_l[:, :, :-1]], axis=2
         )
-        frac = f.mont_mul(SPEC, num, ops.batch_inverse(den))
-        frac = jnp.where(act_dev[None, :], frac, jnp.broadcast_to(one_m, (32, n)))
-        z = _grand_product(frac, usable, ops.fr_digits_mont(1))
-        end = ops.from_device_mont(z[:, usable : usable + 1])[0]
-        assert end == 1, "lookup product does not close (lookup unsatisfied?)"
-        zv = np.array(ops.from_device_mont(z), dtype=object)
-        zv = _blind_tail(zv, usable + 1, blinding_seed, b"zl%d" % i)
-        zl_coeffs.append(ops.coeffs_of(ops.to_device_mont(zv), k))
+        zl_blind = np.empty((nl, n - usable - 1), dtype=object)
+        for i in range(nl):
+            for r in range(usable + 1, n):
+                h = hashlib.blake2b(blinding_seed + b"zl%d" % i + r.to_bytes(4, "little")).digest()
+                zl_blind[i, r - usable - 1] = int.from_bytes(h, "little") % P
+        zl_all = shifted_l.at[:, :, usable + 1 :].set(ops.to_device_mont(zl_blind))
+        zl_stack = ops.coeffs_of(zl_all, k)
+        zl_coeffs = [zl_stack[:, i] for i in range(nl)]
+    else:
+        zl_coeffs = []
 
     for pt in commit_many(pk.srs, zp_coeffs + zl_coeffs):
         tr.write_point(pt)
@@ -243,80 +270,104 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
     _mark("y squeezed")
 
     # ---- 5. quotient on the extended coset --------------------------------
+    # Constraint groups are batched: each group is ONE batched extended-coset
+    # NTT over a (D, group, n) stack and one fused y-Horner fold
+    # (sum_i C_i * y^{m-1-i} via a tree-sum), preserving the exact emission
+    # order of the docstring / verifier.
     def ext(coeffs):
         return ops.extended_coset_evals(coeffs, k, k_ext)
 
     def rot(e, s):
-        return jnp.roll(e, -s * rate, axis=1)
+        return jnp.roll(e, -s * rate, axis=-1)
 
     acc = jnp.zeros((32, n_ext), jnp.uint32)
 
-    def emit(c_ext):
+    def emit_many(cstack):
+        """cstack: (D, m, n_ext), constraint index ascending in emission order."""
         nonlocal acc
-        acc = f.add(SPEC, f.mont_mul(SPEC, acc, y_m), c_ext)
+        m = cstack.shape[1]
+        ypow = jnp.asarray(
+            f.pack_ints([pow(y, m - 1 - i, P) * SPEC.r_mod_p % P for i in range(m)])
+        )[:, :, None]
+        fold = ops.sum_axis(f.mont_mul(SPEC, cstack, ypow), 1)
+        ym = jnp.asarray(f.pack_ints([pow(y, m, P) * SPEC.r_mod_p % P]))
+        acc = f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
 
-    # 1. gates
-    for c in range(na):
-        qe = ext(pk.q_coeffs[c])
-        ae = ext(adv_coeffs[c])
-        g = f.add(SPEC, ae, f.mont_mul(SPEC, rot(ae, 1), rot(ae, 2)))
-        g = f.sub(SPEC, g, rot(ae, 3))
-        emit(f.mont_mul(SPEC, qe, g))
+    # 1. gates: q_c * (a + a(w) a(w2) - a(w3)) for every advice column
+    q_ext = ext(jnp.stack(pk.q_coeffs, axis=1))  # (D, na, n_ext)
+    a_ext = ext(jnp.stack(adv_coeffs, axis=1))
+    gate = f.add(SPEC, a_ext, f.mont_mul(SPEC, rot(a_ext, 1), rot(a_ext, 2)))
+    gate = f.sub(SPEC, gate, rot(a_ext, 3))
+    emit_many(f.mont_mul(SPEC, q_ext, gate))
+    del q_ext, a_ext, gate
 
     _mark("gate constraints emitted")
     l0_ext = ext(pk.l0_coeffs)
     lu_ext = ext(pk.lu_coeffs)
     act_ext = ext(pk.active_coeffs)
     one_ext = jnp.broadcast_to(one_m, (32, n_ext))
+    b3 = beta_m[:, None, :]
+    g3 = gamma_m[:, None, :]
 
-    zp_ext = [ext(c) for c in zp_coeffs]
+    zp_ext = ext(zp_stack)  # (D, C, n_ext)
     # 2. l_0 * (Z_0 - 1)
-    emit(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[0], one_ext)))
-    # 3. chunk updates
-    id_coeffs = [ops.coeffs_of(ops.to_device_mont(pk.id_values[j]), k) for j in range(vk.n_perm_cols)]
-    perm_col_coeffs = [ops.coeffs_of(perm_col_dev[j], k) for j in range(vk.n_perm_cols)]
-    for ci, chunk in enumerate(vk.perm_chunks):
-        lhs = rot(zp_ext[ci], 1)
-        rhs = zp_ext[ci]
-        for j in chunk:
-            colj = ext(perm_col_coeffs[j])
-            sj = ext(pk.sigma_coeffs[j])
-            ij = ext(id_coeffs[j])
-            lhs = f.mont_mul(SPEC, lhs, f.add(SPEC, colj, f.add(SPEC, f.mont_mul(SPEC, beta_m, sj), gamma_m)))
-            rhs = f.mont_mul(SPEC, rhs, f.add(SPEC, colj, f.add(SPEC, f.mont_mul(SPEC, beta_m, ij), gamma_m)))
-        emit(f.mont_mul(SPEC, act_ext, f.sub(SPEC, lhs, rhs)))
-    # 4. chains
-    for ci in range(1, len(vk.perm_chunks)):
-        emit(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[ci], rot(zp_ext[ci - 1], usable))))
-    # 5. closing
-    emit(f.mont_mul(SPEC, lu_ext, f.sub(SPEC, zp_ext[-1], one_ext)))
+    emit_many(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[:, 0], one_ext))[:, None])
+    # 3. chunk updates: active * [Z(wX) prod(col+b*sig+g) - Z prod(col+b*id+g)]
+    id_coeffs_stack = ops.coeffs_of(id_dev, k)
+    perm_col_coeffs_stack = ops.coeffs_of(perm_col_dev, k)
+    col_e = ext(perm_col_coeffs_stack)  # (D, npc, n_ext)
+    sig_e = ext(jnp.stack(pk.sigma_coeffs, axis=1))
+    id_e = ext(id_coeffs_stack)
+    fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
+    fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
+    del col_e, sig_e, id_e
+    if pc:  # pad odd column count with multiplicative-identity factors
+        ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pc, n_ext))
+        fs = jnp.concatenate([fs, ones_pad], axis=1)
+        fi = jnp.concatenate([fi, ones_pad], axis=1)
+    lhs = f.mont_mul(SPEC, rot(zp_ext, 1), f.mont_mul(SPEC, fs[:, 0::2], fs[:, 1::2]))
+    rhs = f.mont_mul(SPEC, zp_ext, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
+    emit_many(f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs)))
+    del fs, fi, lhs, rhs
+    # 4. chains: l_0 * (Z_i - Z_{i-1}(w^u X))
+    if len(vk.perm_chunks) > 1:
+        chain = f.sub(SPEC, zp_ext[:, 1:], rot(zp_ext[:, :-1], usable))
+        emit_many(f.mont_mul(SPEC, l0_ext[:, None], chain))
+        del chain
+    # 5. closing: l_u * (Z_last - 1)
+    emit_many(f.mont_mul(SPEC, lu_ext, f.sub(SPEC, zp_ext[:, -1], one_ext))[:, None])
+    del zp_ext
 
     _mark("perm constraints emitted")
-    # 6. lookups
-    table_ext = ext(pk.table_coeffs)
-    zl_ext = [ext(c) for c in zl_coeffs]
-    lk_col_coeffs = lk_coeffs
-    ap_ext = [ext(c) for c in ap_coeffs]
-    sp_ext = [ext(c) for c in sp_coeffs]
-    for i in range(nl):
-        lk_ext = ext(lk_col_coeffs[i])
-        emit(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zl_ext[i], one_ext)))
-        emit(f.mont_mul(SPEC, lu_ext, f.sub(SPEC, zl_ext[i], one_ext)))
-        lhs = f.mont_mul(
+    # 6. lookups: per column, constraints (a..e) in order, columns outermost
+    if nl:
+        table_ext = ext(pk.table_coeffs)
+        zl_ext = ext(zl_stack)  # (D, nl, n_ext)
+        lk_ext = ext(jnp.stack(lk_coeffs, axis=1))
+        ap_ext = ext(jnp.stack(ap_coeffs, axis=1))
+        sp_ext = ext(jnp.stack(sp_coeffs, axis=1))
+        ca = f.mont_mul(SPEC, l0_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+        cb = f.mont_mul(SPEC, lu_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+        lhs_l = f.mont_mul(
             SPEC,
-            rot(zl_ext[i], 1),
-            f.mont_mul(SPEC, f.add(SPEC, ap_ext[i], beta_m), f.add(SPEC, sp_ext[i], gamma_m)),
+            rot(zl_ext, 1),
+            f.mont_mul(SPEC, f.add(SPEC, ap_ext, b3), f.add(SPEC, sp_ext, g3)),
         )
-        rhs = f.mont_mul(
+        rhs_l = f.mont_mul(
             SPEC,
-            zl_ext[i],
-            f.mont_mul(SPEC, f.add(SPEC, lk_ext, beta_m), f.add(SPEC, table_ext, gamma_m)),
+            zl_ext,
+            f.mont_mul(
+                SPEC, f.add(SPEC, lk_ext, b3), f.add(SPEC, table_ext[:, None], g3)
+            ),
         )
-        emit(f.mont_mul(SPEC, act_ext, f.sub(SPEC, lhs, rhs)))
-        d1 = f.sub(SPEC, ap_ext[i], sp_ext[i])
-        d2 = f.sub(SPEC, ap_ext[i], rot(ap_ext[i], -1))
-        emit(f.mont_mul(SPEC, act_ext, f.mont_mul(SPEC, d1, d2)))
-        emit(f.mont_mul(SPEC, l0_ext, d1))
+        cc = f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs_l, rhs_l))
+        d1 = f.sub(SPEC, ap_ext, sp_ext)
+        d2 = f.sub(SPEC, ap_ext, rot(ap_ext, -1))
+        cd = f.mont_mul(SPEC, act_ext[:, None], f.mont_mul(SPEC, d1, d2))
+        ce = f.mont_mul(SPEC, l0_ext[:, None], d1)
+        lk_stack5 = jnp.stack([ca, cb, cc, cd, ce], axis=2)  # (D, nl, 5, n_ext)
+        emit_many(lk_stack5.reshape(32, nl * 5, n_ext))
+        del table_ext, zl_ext, lk_ext, ap_ext, sp_ext, ca, cb, cc, cd, ce, lk_stack5
 
     # divide by Z_H on the coset
     g_coset = host.FR_GENERATOR
@@ -331,6 +382,14 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
     _mark("quotient divided")
     t_coeffs = ops.coeffs_from_extended(t_ext, k, k_ext)
     n_pieces = 3  # max constraint degree 4 -> deg(t) <= 3n - 4
+    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+        tail = ops.from_device_mont(t_coeffs[:, n_pieces * n :])
+        n_bad = sum(1 for v in tail if v != 0)
+        print(
+            f"[selfcheck] t degree tail: {n_bad}/{len(tail)} nonzero coeffs past "
+            f"{n_pieces}n {'** DEGREE OVERFLOW **' if n_bad else '(ok)'}",
+            flush=True,
+        )
     t_pieces = [t_coeffs[:, i * n : (i + 1) * n] for i in range(n_pieces)]
     for pt in commit_many(pk.srs, t_pieces):
         tr.write_point(pt)
@@ -378,7 +437,7 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
 
     all_evals: dict[str, list[int]] = {}
     for key, polys in opening_sets:
-        evs = [ev.eval(c, points[key]) for c in polys]
+        evs = ev.eval_many(list(polys), points[key])
         all_evals[key] = evs
         for e in evs:
             tr.write_scalar(e)
@@ -386,20 +445,32 @@ def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
     _mark("evals written")
     # ---- 6. GWC multi-open -------------------------------------------------
     nu = tr.squeeze_challenge()
-    nu_m = ops.fr_digits_mont(nu).reshape(-1, 1)
     w_list = []
     for key, polys in opening_sets:
         if not polys:
             continue
-        acc_c = jnp.zeros((32, n), jnp.uint32)
-        for c in polys:
-            width = c.shape[1]
-            padded = (
-                c
-                if width == n
-                else jnp.zeros((32, n), jnp.uint32).at[:, :width].set(c)
+        m = len(polys)
+        nupow = jnp.asarray(
+            f.pack_ints([pow(nu, m - 1 - i, P) * SPEC.r_mod_p % P for i in range(m)])
+        )[:, :, None]
+        acc_c = ops.sum_axis(
+            f.mont_mul(SPEC, jnp.stack(list(polys), axis=1), nupow), 1
+        )
+        if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+            z = points[key]
+            fz = ev.eval(acc_c, z)
+            v_fold = 0
+            for e in all_evals[key]:
+                v_fold = (v_fold * nu + e) % P
+            w_q = ops.synthetic_divide(acc_c, ops.fr_digits_mont(z))
+            xi = 0x1234567 % P
+            lhs = (ev.eval(acc_c, xi) - fz) * pow(xi - z, P - 2, P) % P
+            rhs = ev.eval(w_q, xi)
+            print(
+                f"[selfcheck] open@{key}: fold==f(z): {fz == v_fold}; "
+                f"division identity: {lhs == rhs}",
+                flush=True,
             )
-            acc_c = f.add(SPEC, f.mont_mul(SPEC, acc_c, nu_m), padded)
         w_list.append(ops.synthetic_divide(acc_c, ops.fr_digits_mont(points[key])))
     for pt in commit_many(pk.srs, w_list):
         tr.write_point(pt)

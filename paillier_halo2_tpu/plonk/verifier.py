@@ -204,6 +204,7 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
     lhs_pt = None
     rhs_pt = None
     upow = 1
+    selfcheck = os.environ.get("PAILLIER_TPU_SELFCHECK")
     for (key, pairs), wc in zip(opening_sets, w_commits):
         z = points[key]
         fj = None
@@ -213,6 +214,11 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
             vj = (vj * nu + e) % P
         term = ech.g1_add(ech.g1_mul(wc, z), fj)
         term = ech.g1_add(term, ech.g1_neg(ech.g1_mul(ech.G1, vj)))
+        if selfcheck:
+            single = pairing_check(
+                [(wc, srs.g2_tau), (ech.g1_neg(term), srs.g2_gen)]
+            )
+            print(f"[verifier selfcheck] opening@{key}: {'ok' if single else '** FAILS **'}", flush=True)
         lhs_pt = ech.g1_add(lhs_pt, ech.g1_mul(wc, upow))
         rhs_pt = ech.g1_add(rhs_pt, ech.g1_mul(term, upow))
         upow = upow * u % P

@@ -55,26 +55,33 @@ def _powers(base: int, count: int) -> list[int]:
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def ntt(x: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
-    """In-order NTT of a (N_DIGITS, 2^k) Montgomery-form coefficient array.
+    """In-order NTT along the LAST axis of a (N_DIGITS, ..., 2^k)
+    Montgomery-form array — optional middle axes batch independent
+    polynomials through one dispatch chain (the prover transforms a whole
+    phase's columns at once).
 
     Forward: evaluations over H in natural index order (omega^i at index i).
     Inverse: includes the 1/n scaling.
     """
     n = 1 << k
-    assert x.shape == (N_DIGITS, n), x.shape
+    assert x.shape[0] == N_DIGITS and x.shape[-1] == n, x.shape
+    batch = x.shape[1:-1]
     spec = f.FR
-    x = jnp.take(x, jnp.asarray(_bitrev(k)), axis=1)
+    x = jnp.take(x, jnp.asarray(_bitrev(k)), axis=-1)
+    ones = (1,) * len(batch)
     for s, tw in enumerate(_stage_twiddles(k, inverse)):
         half = 1 << s
-        xb = x.reshape(N_DIGITS, n >> (s + 1), 2, half)
-        u = xb[:, :, 0, :]
-        v = f.mont_mul(spec, xb[:, :, 1, :], jnp.asarray(tw)[:, None, :])
-        x = jnp.concatenate([f.add(spec, u, v)[:, :, None, :], f.sub(spec, u, v)[:, :, None, :]], axis=2)
-        x = x.reshape(N_DIGITS, n)
+        xb = x.reshape(N_DIGITS, *batch, n >> (s + 1), 2, half)
+        u = xb[..., 0, :]
+        v = f.mont_mul(spec, xb[..., 1, :], jnp.asarray(tw).reshape(N_DIGITS, *ones, 1, half))
+        x = jnp.concatenate(
+            [f.add(spec, u, v)[..., None, :], f.sub(spec, u, v)[..., None, :]], axis=-2
+        )
+        x = x.reshape(N_DIGITS, *batch, n)
     if inverse:
         n_inv = pow(n, host.FR_MOD - 2, host.FR_MOD)
         scale = f.pack_ints([n_inv * spec.r_mod_p % host.FR_MOD])
-        x = f.mont_mul(spec, x, jnp.asarray(scale))
+        x = f.mont_mul(spec, x, jnp.asarray(scale).reshape(N_DIGITS, *ones, 1))
     return x
 
 

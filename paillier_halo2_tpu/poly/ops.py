@@ -27,14 +27,19 @@ P = host.FR_MOD
 
 
 def pack_values(vals) -> np.ndarray:
-    """Object-int array/list -> (N_DIGITS, n) uint32 digits (standard form)."""
-    buf = b"".join(int(v).to_bytes(32, "little") for v in vals)
-    return np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T.astype(np.uint32)
+    """Object-int array/list of any shape S -> (N_DIGITS, *S) uint32 digits
+    (standard form, row-major batch order)."""
+    arr = np.asarray(vals, dtype=object)
+    flat = arr.reshape(-1)
+    buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
+    dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T.astype(np.uint32)
+    return dig.reshape((N_DIGITS,) + arr.shape)
 
 
 def unpack_values(arr) -> list[int]:
-    """(N_DIGITS, n) digits -> list of ints."""
-    a = np.asarray(arr).astype(np.uint8).T.tobytes()
+    """(N_DIGITS, ...) digits -> flat list of ints (row-major over batch)."""
+    a = np.asarray(arr)
+    a = a.reshape(N_DIGITS, -1).astype(np.uint8).T.tobytes()
     return [int.from_bytes(a[i * 32 : (i + 1) * 32], "little") for i in range(len(a) // 32)]
 
 
@@ -71,23 +76,34 @@ def _coset_scale_digits(k: int, k_ext: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def extended_coset_evals(coeffs: jnp.ndarray, k: int, k_ext: int) -> jnp.ndarray:
-    """Evaluate a degree-<2^k polynomial on the extended coset g*H_ext."""
-    scale = jnp.asarray(_coset_scale_digits(k, k_ext))
+    """Evaluate degree-<2^k polynomials on the extended coset g*H_ext.
+    Batched along any middle axes: (D, ..., 2^k) -> (D, ..., 2^k_ext)."""
+    batch = coeffs.shape[1:-1]
+    ones = (1,) * len(batch)
+    scale = jnp.asarray(_coset_scale_digits(k, k_ext)).reshape(N_DIGITS, *ones, 1 << k)
     scaled = f.mont_mul(SPEC, coeffs, scale)
-    padded = jnp.zeros((N_DIGITS, 1 << k_ext), jnp.uint32).at[:, : 1 << k].set(scaled)
+    padded = jnp.zeros((N_DIGITS, *batch, 1 << k_ext), jnp.uint32)
+    padded = padded.at[..., : 1 << k].set(scaled)
     return ntt(padded, k_ext)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndarray:
-    """Inverse of extended_coset_evals: coset evals -> coefficients (len 2^k_ext)."""
-    coeffs = ntt(evals_ext, k_ext, inverse=True)
+@functools.lru_cache(maxsize=None)
+def _coset_unscale_digits(k_ext: int) -> np.ndarray:
     g_inv = pow(host.FR_GENERATOR, P - 2, P)
     out, acc = [], 1
     for _ in range(1 << k_ext):
         out.append(acc * f.FR.r_mod_p % P)
         acc = acc * g_inv % P
-    scale = jnp.asarray(pack_values(out))
+    return pack_values(out)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndarray:
+    """Inverse of extended_coset_evals: coset evals -> coefficients (len 2^k_ext)."""
+    batch = evals_ext.shape[1:-1]
+    ones = (1,) * len(batch)
+    coeffs = ntt(evals_ext, k_ext, inverse=True)
+    scale = jnp.asarray(_coset_unscale_digits(k_ext)).reshape(N_DIGITS, *ones, 1 << k_ext)
     return f.mont_mul(SPEC, coeffs, scale)
 
 
@@ -96,16 +112,33 @@ def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndar
 
 @jax.jit
 def _sum_reduce(arr: jnp.ndarray) -> jnp.ndarray:
-    """Tree-sum along the batch axis (mod p): (D, n) -> (D, 1)."""
-    n = arr.shape[1]
+    """Tree-sum along the LAST axis (mod p): (D, ..., n) -> (D, ..., 1)."""
+    n = arr.shape[-1]
     while n > 1:
         half = (n + 1) // 2
         pad = half * 2 - n
         if pad:
-            arr = jnp.pad(arr, ((0, 0), (0, pad)))
-        arr = f.add(SPEC, arr[:, :half], arr[:, half:])
+            arr = jnp.pad(arr, [(0, 0)] * (arr.ndim - 1) + [(0, pad)])
+        arr = f.add(SPEC, arr[..., :half], arr[..., half:])
         n = half
     return arr
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def sum_axis(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Tree-sum (mod p) along one axis, removing it (no transpose)."""
+    n = arr.shape[axis]
+    while n > 1:
+        half = (n + 1) // 2
+        if half * 2 > n:
+            pads = [(0, 0)] * arr.ndim
+            pads[axis] = (0, half * 2 - n)
+            arr = jnp.pad(arr, pads)
+        a = jax.lax.slice_in_dim(arr, 0, half, axis=axis)
+        b = jax.lax.slice_in_dim(arr, half, 2 * half, axis=axis)
+        arr = f.add(SPEC, a, b)
+        n = half
+    return jnp.squeeze(arr, axis=axis)
 
 
 def eval_at(coeffs: jnp.ndarray, x: int) -> int:
@@ -125,14 +158,34 @@ def eval_at(coeffs: jnp.ndarray, x: int) -> int:
 
 @jax.jit
 def prefix_product(arr: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix product along batch axis (Montgomery form)."""
-    return jax.lax.associative_scan(lambda a, b: f.mont_mul(SPEC, a, b), arr, axis=1)
+    """Inclusive prefix product along the LAST axis (Montgomery form)."""
+    return jax.lax.associative_scan(
+        lambda a, b: f.mont_mul(SPEC, a, b), arr, axis=arr.ndim - 1
+    )
 
 
 @jax.jit
 def batch_inverse(arr: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise inverse via Fermat (inputs must be nonzero, Montgomery)."""
-    return f.mont_inv(SPEC, arr)
+    """Elementwise inverse of nonzero Montgomery values via the Montgomery
+    product trick: inv(a_i) = pre_{i-1} * suf_{i+1} * T^{-1} with pre/suf the
+    prefix/suffix products and T the total. Two log-depth scans + ONE Fermat
+    ladder on a single lane, instead of a 380-step ladder over the whole
+    batch — the prover calls this once per grand-product column."""
+    ax = arr.ndim - 1
+    n = arr.shape[ax]
+    if n == 1:
+        return f.mont_inv(SPEC, arr)
+    mul = lambda a, b: f.mont_mul(SPEC, a, b)
+    pre = jax.lax.associative_scan(mul, arr, axis=ax)
+    suf = jax.lax.associative_scan(mul, arr, axis=ax, reverse=True)
+    one_col = jnp.broadcast_to(
+        jnp.asarray(f.pack_ints([SPEC.r_mod_p])).reshape((N_DIGITS,) + (1,) * (arr.ndim - 1)),
+        arr.shape[:-1] + (1,),
+    )
+    total_inv = f.mont_inv(SPEC, pre[..., -1:])
+    pre_shift = jnp.concatenate([one_col, pre[..., :-1]], axis=ax)
+    suf_shift = jnp.concatenate([suf[..., 1:], one_col], axis=ax)
+    return mul(mul(pre_shift, suf_shift), total_inv)
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -147,11 +200,16 @@ def synthetic_divide(coeffs: jnp.ndarray, z_digits: jnp.ndarray) -> jnp.ndarray:
     shifted = jnp.concatenate([coeffs[:, 1:], jnp.zeros((N_DIGITS, 1), jnp.uint32)], axis=1)
 
     def combine(left, right):
-        # (F_left o F_right)(y) = a_l + m_l*(a_r + m_r*y); the reverse scan
-        # then yields r_i = F_i o F_{i+1} o ... o F_{n-1}, and q_i = r_i(0).
+        # associative_scan(reverse=True) flips the array, scans, and flips
+        # back, so its ordered product places HIGH indices on the left:
+        # result[i] = x_{n-1} op ... op x_i. We need the mirror product
+        # F_i o ... o F_{n-1}, so compose operands swapped:
+        # (x op' y) := F_y o F_x, i.e. a = a_r + m_r * a_l. The swapped op
+        # is still associative, and the reverse scan then yields
+        # r_i = F_i o F_{i+1} o ... o F_{n-1}, with q_i = r_i(0).
         ml, al = left
         mr, ar = right
-        return f.mont_mul(SPEC, ml, mr), f.add(SPEC, al, f.mont_mul(SPEC, ml, ar))
+        return f.mont_mul(SPEC, ml, mr), f.add(SPEC, ar, f.mont_mul(SPEC, mr, al))
 
     _, q = jax.lax.associative_scan(combine, (z, shifted), axis=1, reverse=True)
     return q

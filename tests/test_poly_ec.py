@@ -95,3 +95,31 @@ def test_device_mixed_add():
         )
     )
     assert got == expect
+
+
+def test_synthetic_divide_matches_host_recurrence():
+    """Regression: associative_scan(reverse=True) mirrors the operand order of
+    a non-commutative combine; synthetic_divide must still produce
+    q_i = c_{i+1} + z*q_{i+1} (the (f(X)-f(z))/(X-z) quotient)."""
+    import random
+
+    from paillier_halo2_tpu.ff.host import FR_MOD as P
+    from paillier_halo2_tpu.poly import ops
+
+    rng = random.Random(5150)
+    n = 16
+    coeffs = [rng.randrange(P) for _ in range(n)]
+    z = rng.randrange(P)
+    got = ops.from_device_mont(
+        ops.synthetic_divide(ops.to_device_mont(coeffs), ops.fr_digits_mont(z))
+    )
+    exp = [0] * n
+    for i in range(n - 2, -1, -1):
+        exp[i] = (coeffs[i + 1] + z * exp[i + 1]) % P
+    assert got == exp
+    # and the division identity (f(x) - f(z)) == (x - z) * q(x) at a point
+    x = rng.randrange(P)
+    fx = sum(c * pow(x, i, P) for i, c in enumerate(coeffs)) % P
+    fz = sum(c * pow(z, i, P) for i, c in enumerate(coeffs)) % P
+    qx = sum(c * pow(x, i, P) for i, c in enumerate(exp)) % P
+    assert (fx - fz) % P == (x - z) * qx % P

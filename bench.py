@@ -53,13 +53,16 @@ def main():
             return mont_mul_pallas(f.FR, x, y)
         return f.mont_mul(f.FR, x, y)
 
+    # sync via a tiny d2h readback: over the axon tunnel block_until_ready
+    # can return before compute finishes, inflating throughput ~100x
+    sync = lambda x: np.asarray(x[0, :1])
     r = mm(a, b)
-    jax.block_until_ready(r)
+    sync(r)
     t0 = time.monotonic()
     reps = 10
     for _ in range(reps):
         r = mm(r, b)
-    jax.block_until_ready(r)
+    sync(r)
     mulmod_per_s = N * reps / (time.monotonic() - t0)
     log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s")
 

@@ -6,6 +6,8 @@ masks (no data-dependent branches — jit/shard_map friendly).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,10 +105,16 @@ def pdouble(p: JPoint) -> JPoint:
     return (X3, Y3, Z3)
 
 
-@jax.jit
-def padd(p: JPoint, q: JPoint) -> JPoint:
+@functools.partial(jax.jit, static_argnames=("nodouble",))
+def padd(p: JPoint, q: JPoint, nodouble: bool = False) -> JPoint:
     """General Jacobian addition with all edge cases resolved by masks:
-    P+inf, inf+Q, P+P (falls through to double), P+(-P) (infinity)."""
+    P+inf, inf+Q, P+P (falls through to double), P+(-P) (infinity).
+
+    nodouble=True is a Pallas-path contract: the caller guarantees no lane
+    ever hits P == Q or P == -Q (distinct-point accumulation, e.g. disjoint
+    partial sums of distinct SRS bases); the kernel then skips the 7-mul
+    doubling branch. A violated contract degrades to Z3 == 0 (infinity),
+    never a wrong finite point. The XLA fallback keeps the full branch."""
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     batch = jnp.broadcast_shapes(X1.shape[1:], X2.shape[1:])
@@ -114,7 +122,7 @@ def padd(p: JPoint, q: JPoint) -> JPoint:
         from .pallas_point import padd_pallas
 
         flat, lanes = _pallas_flatten([X1, Y1, Z1, X2, Y2, Z2], batch)
-        out = padd_pallas(SPEC, *flat)
+        out = padd_pallas(SPEC, *flat, nodouble=nodouble)
         return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
     z1z1 = _sqr(Z1)
     z2z2 = _sqr(Z2)
@@ -146,10 +154,12 @@ def padd(p: JPoint, q: JPoint) -> JPoint:
     return res
 
 
-@jax.jit
-def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf) -> JPoint:
+@functools.partial(jax.jit, static_argnames=("nodouble",))
+def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf,
+               nodouble: bool = False) -> JPoint:
     """Mixed addition: q given in affine Montgomery coords (Z2 == 1).
-    madd-2007-bl shape, ~11 muls instead of ~16. `q_inf` is a batch mask."""
+    madd-2007-bl shape, ~11 muls instead of ~16. `q_inf` is a batch mask.
+    nodouble: see padd."""
     X1, Y1, Z1 = p
     X2, Y2 = q_affine
     batch = jnp.broadcast_shapes(X1.shape[1:], X2.shape[1:])
@@ -161,7 +171,7 @@ def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf) -> J
         pad = (-lanes) % BLOCK
         if pad:
             qi = jnp.pad(qi, (0, pad), constant_values=True)
-        out = padd_mixed_pallas(SPEC, *flat, qi)
+        out = padd_mixed_pallas(SPEC, *flat, qi, nodouble=nodouble)
         return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
     z1z1 = _sqr(Z1)
     u2 = _mul(X2, z1z1)

@@ -54,9 +54,16 @@ def _sel(mask, a, b):
     return jnp.where(mask, a, b)
 
 
-def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one):
+def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one,
+                    with_double: bool = True):
     """Jacobian (X1,Y1,Z1) + affine (X2,Y2) with all edge cases; q_inf is a
-    (1, BLOCK) mask. Mirrors ec/bn254.py padd_mixed."""
+    (1, BLOCK) mask. Mirrors ec/bn254.py padd_mixed.
+
+    with_double=False drops the doubling branch (7 Montgomery products) and
+    the h/r zero tests: valid when the affine operand never equals the
+    accumulator (distinct-base bucket accumulation). In that variant a true
+    doubling or annihilation input degrades to Z3 == 0 (the infinity
+    encoding) instead of a wrong finite point."""
     mm = lambda x, y: _mont_mul_body(x, y, tmat, mumat, pmat, pvec)
     add = lambda x, y: _field_add(x, y, pvec)
     sub = lambda x, y: _field_sub(x, y, pvec)
@@ -75,37 +82,39 @@ def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one):
     Y3 = sub(mm(r, sub(v, X3)), mm(Y1, hhh))
     Z3 = mm(Z1, h)
 
-    # doubling branch (dbl-2009-l, a = 0)
-    A = mm(X1, X1)
-    B = mm(Y1, Y1)
-    C = mm(B, B)
-    t = mm(add(X1, B), add(X1, B))
-    D = sub(sub(t, A), C)
-    D = add(D, D)
-    E = add(add(A, A), A)
-    F = mm(E, E)
-    Xd = sub(F, add(D, D))
-    C8 = add(C, C)
-    C8 = add(C8, C8)
-    C8 = add(C8, C8)
-    Yd = sub(mm(E, sub(D, Xd)), C8)
-    YZ = mm(Y1, Z1)
-    Zd = add(YZ, YZ)
-
-    h_zero = _is_zero(h)
-    r_zero = _is_zero(r)
     p_inf = _is_zero(Z1)
     zero = jnp.zeros_like(Z1)
 
-    dbl = h_zero & r_zero
-    X3 = _sel(dbl, Xd, X3)
-    Y3 = _sel(dbl, Yd, Y3)
-    Z3 = _sel(dbl, Zd, Z3)
-    # P + (-P) -> infinity
-    annihilate = h_zero & ~r_zero & ~p_inf
-    X3 = _sel(annihilate, one, X3)
-    Y3 = _sel(annihilate, one, Y3)
-    Z3 = _sel(annihilate, zero, Z3)
+    if with_double:
+        # doubling branch (dbl-2009-l, a = 0)
+        A = mm(X1, X1)
+        B = mm(Y1, Y1)
+        C = mm(B, B)
+        t = mm(add(X1, B), add(X1, B))
+        D = sub(sub(t, A), C)
+        D = add(D, D)
+        E = add(add(A, A), A)
+        F = mm(E, E)
+        Xd = sub(F, add(D, D))
+        C8 = add(C, C)
+        C8 = add(C8, C8)
+        C8 = add(C8, C8)
+        Yd = sub(mm(E, sub(D, Xd)), C8)
+        YZ = mm(Y1, Z1)
+        Zd = add(YZ, YZ)
+
+        h_zero = _is_zero(h)
+        r_zero = _is_zero(r)
+
+        dbl = h_zero & r_zero
+        X3 = _sel(dbl, Xd, X3)
+        Y3 = _sel(dbl, Yd, Y3)
+        Z3 = _sel(dbl, Zd, Z3)
+        # P + (-P) -> infinity
+        annihilate = h_zero & ~r_zero & ~p_inf
+        X3 = _sel(annihilate, one, X3)
+        Y3 = _sel(annihilate, one, Y3)
+        Z3 = _sel(annihilate, zero, Z3)
     # inf + Q -> Q (as Jacobian with Z = 1)
     X3 = _sel(p_inf, X2, X3)
     Y3 = _sel(p_inf, Y2, Y3)
@@ -117,9 +126,11 @@ def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one):
     return X3, Y3, Z3
 
 
-def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one):
+def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one,
+                       with_double: bool = True):
     """General Jacobian + Jacobian with all edge cases; mirrors
-    ec/bn254.py padd (16 generic + 7 doubling Montgomery products)."""
+    ec/bn254.py padd (16 generic + 7 doubling Montgomery products).
+    with_double=False: see _mixed_add_full."""
     mm = lambda x, y: _mont_mul_body(x, y, tmat, mumat, pmat, pvec)
     add = lambda x, y: _field_add(x, y, pvec)
     sub = lambda x, y: _field_sub(x, y, pvec)
@@ -141,37 +152,39 @@ def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one):
     Y3 = sub(mm(r, sub(v, X3)), mm(s1, hhh))
     Z3 = mm(mm(Z1, Z2), h)
 
-    # doubling branch
-    A = mm(X1, X1)
-    B = mm(Y1, Y1)
-    C = mm(B, B)
-    t = mm(add(X1, B), add(X1, B))
-    D = sub(sub(t, A), C)
-    D = add(D, D)
-    E = add(add(A, A), A)
-    F = mm(E, E)
-    Xd = sub(F, add(D, D))
-    C8 = add(C, C)
-    C8 = add(C8, C8)
-    C8 = add(C8, C8)
-    Yd = sub(mm(E, sub(D, Xd)), C8)
-    YZ = mm(Y1, Z1)
-    Zd = add(YZ, YZ)
-
-    h_zero = _is_zero(h)
-    r_zero = _is_zero(r)
     p_inf = _is_zero(Z1)
     q_inf = _is_zero(Z2)
-    zero = jnp.zeros_like(Z1)
 
-    dbl = h_zero & r_zero
-    X3 = _sel(dbl, Xd, X3)
-    Y3 = _sel(dbl, Yd, Y3)
-    Z3 = _sel(dbl, Zd, Z3)
-    annihilate = h_zero & ~r_zero & ~p_inf & ~q_inf
-    X3 = _sel(annihilate, one, X3)
-    Y3 = _sel(annihilate, one, Y3)
-    Z3 = _sel(annihilate, zero, Z3)
+    if with_double:
+        # doubling branch
+        A = mm(X1, X1)
+        B = mm(Y1, Y1)
+        C = mm(B, B)
+        t = mm(add(X1, B), add(X1, B))
+        D = sub(sub(t, A), C)
+        D = add(D, D)
+        E = add(add(A, A), A)
+        F = mm(E, E)
+        Xd = sub(F, add(D, D))
+        C8 = add(C, C)
+        C8 = add(C8, C8)
+        C8 = add(C8, C8)
+        Yd = sub(mm(E, sub(D, Xd)), C8)
+        YZ = mm(Y1, Z1)
+        Zd = add(YZ, YZ)
+
+        h_zero = _is_zero(h)
+        r_zero = _is_zero(r)
+        zero = jnp.zeros_like(Z1)
+
+        dbl = h_zero & r_zero
+        X3 = _sel(dbl, Xd, X3)
+        Y3 = _sel(dbl, Yd, Y3)
+        Z3 = _sel(dbl, Zd, Z3)
+        annihilate = h_zero & ~r_zero & ~p_inf & ~q_inf
+        X3 = _sel(annihilate, one, X3)
+        Y3 = _sel(annihilate, one, Y3)
+        Z3 = _sel(annihilate, zero, Z3)
     X3 = _sel(q_inf, X1, X3)
     Y3 = _sel(q_inf, Y1, Y3)
     Z3 = _sel(q_inf, Z1, Z3)
@@ -181,18 +194,21 @@ def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one):
     return X3, Y3, Z3
 
 
-def _jadd_kernel(x1, y1, z1, x2, y2, z2, tmat, mumat, pmat, pvec, one, ox, oy, oz):
+def _jadd_kernel(x1, y1, z1, x2, y2, z2, tmat, mumat, pmat, pvec, one, ox, oy, oz,
+                 *, with_double=True):
     X3, Y3, Z3 = _jacobian_add_full(
         x1[:], y1[:], z1[:], x2[:], y2[:], z2[:],
         tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        with_double=with_double,
     )
     ox[:] = X3
     oy[:] = Y3
     oz[:] = Z3
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7))
-def padd_pallas(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+def padd_pallas(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False,
+                nodouble: bool = False):
     """Fused Jacobian + Jacobian add on (N_DIGITS, N) digit arrays."""
     nd = spec.n_digits
     n = X1.shape[1]
@@ -213,7 +229,7 @@ def padd_pallas(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False
         pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        _jadd_kernel,
+        functools.partial(_jadd_kernel, with_double=not nodouble),
         grid=(n // BLOCK,),
         in_specs=[data_spec] * 6 + const_specs,
         out_specs=[data_spec] * 3,
@@ -223,19 +239,22 @@ def padd_pallas(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False
     return tuple(out)
 
 
-def _kernel(x1, y1, z1, x2, y2, qinf, tmat, mumat, pmat, pvec, one, ox, oy, oz):
+def _kernel(x1, y1, z1, x2, y2, qinf, tmat, mumat, pmat, pvec, one, ox, oy, oz,
+            *, with_double=True):
     X3, Y3, Z3 = _mixed_add_full(
         x1[:], y1[:], z1[:], x2[:], y2[:], qinf[:] != 0,
         tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        with_double=with_double,
     )
     ox[:] = X3
     oy[:] = Y3
     oz[:] = Z3
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7))
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
 def padd_mixed_pallas(
-    spec: FieldSpec, X1, Y1, Z1, X2, Y2, q_inf, interpret: bool = False
+    spec: FieldSpec, X1, Y1, Z1, X2, Y2, q_inf, interpret: bool = False,
+    nodouble: bool = False,
 ):
     """Fused mixed add on (N_DIGITS, N) digit arrays; q_inf is an (N,) bool
     mask marking affine operands at infinity. N must be a multiple of BLOCK."""
@@ -260,7 +279,7 @@ def padd_mixed_pallas(
         pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, with_double=not nodouble),
         grid=(n // BLOCK,),
         in_specs=[data_spec] * 5
         + [pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)]

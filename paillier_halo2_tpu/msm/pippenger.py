@@ -56,14 +56,75 @@ def _inf_points(batch_shape) -> bn254.JPoint:
     return (one, one, jnp.zeros((N_DIGITS,) + tuple(batch_shape), jnp.uint32))
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
+import os
+
+
+def _schedule_defaults() -> tuple[int, int]:
+    """(s_base, s_cap): sub-accumulator budget. On accelerators the Pallas
+    point kernels make the extra lanes nearly free and the round-count
+    reduction dominates; on the CPU fallback each extra lane costs a full
+    O(n_digits^2) XLA mont_mul chain, so default to the degenerate S=1
+    schedule there (tests cover S>1 by passing `subs` explicitly)."""
+    if jax.default_backend() == "cpu":
+        base, cap = "1", "1"
+    else:
+        base, cap = "8", "64"
+    return (
+        int(os.environ.get("PAILLIER_TPU_MSM_SBASE", base)),
+        int(os.environ.get("PAILLIER_TPU_MSM_SCAP", cap)),
+    )
+
+
+def _sub_schedule(n_windows: int, window_bits: int, s_base: int | None = None,
+                  s_cap: int | None = None) -> tuple[int, ...]:
+    """Static per-window sub-accumulator counts.
+
+    Scalars are < r (the BN254 Fr modulus), so the top window's keys take only
+    V = (r >> shift) + 1 distinct values instead of 2^c — its buckets are
+    overloaded by 2^c / V (~5.2x for c=8, since r's top byte is 0x30). With a
+    single global gather-loop, that one window's max bucket occupancy sets the
+    round count for ALL windows. Giving overloaded windows proportionally more
+    strided sub-accumulators equalizes per-window round counts."""
+    if s_base is None or s_cap is None:
+        db, dc = _schedule_defaults()
+        s_base = db if s_base is None else s_base
+        s_cap = dc if s_cap is None else s_cap
+    out = []
+    for w in range(n_windows):
+        v = min(1 << window_bits, (ech.R >> (window_bits * w)) + 1)
+        overload = (1 << window_bits) / v
+        s = s_base
+        while s < s_base * overload and s < s_cap:
+            s *= 2
+        out.append(s)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
+                       subs: tuple[int, ...] | None = None):
     """Per-(window, bucket) sums. px/py: (N_DIGITS, N) packed affine Montgomery;
     p_inf: (N,) bool; keys: (W, N) int window keys. Returns Jacobian buckets
-    with batch (W, 2^c)."""
+    with batch (W, 2^c).
+
+    Strategy: sort each window's keys, then gather-rounds where each
+    (window, bucket, sub) lane accumulates every subs[w]-th point of its
+    bucket's contiguous run; the subs[w] partial sums merge in a log-depth
+    point-add tree afterwards. Round count = max_w ceil(max bucket occupancy
+    of w / subs[w]) — a traced value driving lax.while_loop. `subs` is a
+    static per-window schedule (see _sub_schedule); rows with equal counts
+    are grouped into rectangular blocks so the merge stays reshape-friendly.
+
+    Contract: bases must be pairwise-distinct affine points — the in-loop
+    mixed adds and merge adds run with nodouble=True (ec/bn254.py padd);
+    a partial-sum collision (cryptographically negligible for distinct
+    bases) degrades to infinity, never a wrong finite point."""
     n = px.shape[1]
     n_windows = keys.shape[0]
     n_buckets = 1 << window_bits
+    if subs is None:
+        subs = _sub_schedule(n_windows, window_bits)
+    assert len(subs) == n_windows
     keys = jnp.where(p_inf[None, :], 0, keys.astype(jnp.int32))
     order = jnp.argsort(keys, axis=1)  # (W, N) stable
     sorted_keys = jnp.take_along_axis(keys, order, axis=1)
@@ -78,8 +139,33 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
     seg_start = seg_start.astype(jnp.int32)
     counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
 
-    acc = _inf_points((n_windows, n_buckets))
-    max_rounds = jnp.max(counts)
+    # Static lane maps: rows grouped by sub-count into rectangular blocks,
+    # block layout (rows, B, S) flattened C-order onto one lane axis.
+    blocks: list[tuple[int, list[int]]] = []
+    for w in sorted(range(n_windows), key=lambda w: subs[w]):
+        if blocks and blocks[-1][0] == subs[w]:
+            blocks[-1][1].append(w)
+        else:
+            blocks.append((subs[w], [w]))
+    win_np, bkt_np, sub_np, nsub_np = [], [], [], []
+    for s, rows in blocks:
+        nr = len(rows)
+        win_np.append(np.repeat(np.array(rows, np.int32), n_buckets * s))
+        bkt_np.append(np.tile(np.repeat(np.arange(n_buckets, dtype=np.int32), s), nr))
+        sub_np.append(np.tile(np.arange(s, dtype=np.int32), nr * n_buckets))
+        nsub_np.append(np.full(nr * n_buckets * s, s, np.int32))
+    win_map = jnp.asarray(np.concatenate(win_np))
+    bkt_map = jnp.asarray(np.concatenate(bkt_np))
+    sub_map = jnp.asarray(np.concatenate(sub_np))
+    nsub_map = jnp.asarray(np.concatenate(nsub_np))
+    n_lanes = int(win_map.shape[0])
+
+    seg_l = jnp.take(seg_start.reshape(-1), win_map * n_buckets + bkt_map)
+    counts_l = jnp.take(counts.reshape(-1), win_map * n_buckets + bkt_map)
+    order_flat = order.reshape(-1)
+
+    acc = _inf_points((n_lanes,))
+    max_rounds = jnp.max((counts_l + nsub_map - 1) // nsub_map)
 
     def cond(state):
         r, _ = state
@@ -87,17 +173,47 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int):
 
     def body(state):
         r, acc = state
-        pos = jnp.clip(seg_start + r, 0, n - 1)  # (W, B)
-        idx = jnp.take_along_axis(order, pos, axis=1)  # original point indices
-        gx = jnp.take(px, idx, axis=1)  # (D, W, B)
+        j = sub_map + r * nsub_map  # index within the bucket's sorted run
+        pos = jnp.clip(seg_l + j, 0, n - 1)
+        idx = jnp.take(order_flat, win_map * n + pos)  # original point indices
+        gx = jnp.take(px, idx, axis=1)  # (D, L)
         gy = jnp.take(py, idx, axis=1)
-        g_inf = jnp.take(p_inf, idx)  # (W, B)
-        mask_off = (r >= counts) | g_inf
-        acc = bn254.padd_mixed(acc, (gx, gy), mask_off)
+        g_inf = jnp.take(p_inf, idx)  # (L,)
+        mask_off = (j >= counts_l) | g_inf
+        acc = bn254.padd_mixed(acc, (gx, gy), mask_off, nodouble=True)
         return r + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
-    return acc
+
+    # Merge each block's S sub-accumulators with a log-depth roll-and-add
+    # fold. The fold body is shape-constant (the roll shift is traced), so
+    # each block costs ONE compiled point-add instance regardless of S —
+    # step i only depends on lanes < S >> i being correct, so no masking.
+    # Then restore original window-row order.
+    parts = []
+    row_order: list[int] = []
+    off = 0
+    for s, rows in blocks:
+        nr = len(rows)
+        lb = nr * n_buckets * s
+        blk = tuple(c[:, off : off + lb].reshape(N_DIGITS, nr, n_buckets, s) for c in acc)
+        if s > 1:
+
+            def merge_body(i, t, s=s):
+                half = s >> (i + 1)
+                shifted = tuple(jnp.roll(c, -half, axis=3) for c in t)
+                return bn254.padd(t, shifted, nodouble=True)
+
+            blk = jax.lax.fori_loop(0, s.bit_length() - 1, merge_body, blk)
+        parts.append(tuple(c[..., 0] for c in blk))
+        row_order.extend(rows)
+        off += lb
+    merged = tuple(
+        jnp.concatenate([p[i] for p in parts], axis=1) if len(parts) > 1 else parts[0][i]
+        for i in range(3)
+    )
+    inv = jnp.asarray(np.argsort(np.array(row_order)))
+    return tuple(jnp.take(c, inv, axis=1) for c in merged)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -143,8 +259,9 @@ def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -
     keys = jax.vmap(lambda s: _keys_from_digits(s, window_bits))(sd)  # (P, W, N)
     n_windows = keys.shape[1]
     keys = keys.reshape(n_polys * n_windows, -1)
+    subs = _sub_schedule(n_windows, window_bits) * n_polys  # row = p*W + w
     buckets = _bucket_accumulate(
-        jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits, subs
     )
     tw = _window_sums(buckets, 1 << window_bits)
     pts = bn254.unpack_jacobian(tw)  # (P*W) window sums, poly-major

@@ -89,8 +89,19 @@ def _values_to_coeffs(vals) -> jnp.ndarray:
 
 
 def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKey:
+    import os
+    import time
+
+    _t0 = time.monotonic()
+    _trace = os.environ.get("PAILLIER_TPU_TRACE")
+
+    def _mark(label):
+        if _trace:
+            print(f"[keygen] {label}: {time.monotonic() - _t0:.2f}s", flush=True)
+
     assert srs.k >= k
     layout = assign_layout(table, k, lookup_bits)
+    _mark("layout assigned")
     n = 1 << k
     usable = n - BLINDING_ROWS
     na = layout.num_advice
@@ -133,6 +144,7 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
 
     # -- coefficient forms + commitments (ONE batched iNTT for all fixed
     # polynomials: selectors, const, table, sigmas, active, l0, lu) ---------
+    _mark("fixed values built")
     fixed_stack = np.stack(
         q_vals
         + [fixed_const_vals, table_vals]
@@ -140,6 +152,7 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
         + [active_vals, l0_vals, lu_vals]
     )
     all_coeffs = ops.coeffs_of(ops.to_device_mont(fixed_stack), k)
+    _mark("fixed coeffs (batched iNTT)")
     q_coeffs = [all_coeffs[:, i] for i in range(na)]
     fixed_const_coeffs = all_coeffs[:, na]
     table_coeffs = all_coeffs[:, na + 1]
@@ -156,6 +169,7 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
     all_commits = commit_many(
         srs, q_coeffs + [fixed_const_coeffs, table_coeffs] + sigma_coeffs
     )
+    _mark("fixed commitments (batched MSM)")
     vk = VerifyingKey(
         k=k,
         lookup_bits=lookup_bits,

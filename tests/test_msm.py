@@ -52,3 +52,36 @@ def test_msm_window8_matches():
     scalars = [RNG.randrange(ech.R) for _ in range(16)]
     expect = ech.g1_msm(pts, scalars)
     assert _msm(pts, scalars, window_bits=8) == expect
+
+
+def test_msm_strided_sub_accumulators():
+    """Explicit S>1 sub-accumulator schedule (the accelerator default; CPU
+    defaults to the degenerate S=1 schedule for fallback-kernel speed):
+    exercises the strided gather-rounds, per-block merge fold, and row
+    reordering of _bucket_accumulate against the host oracle."""
+    import jax.numpy as jnp
+
+    from paillier_halo2_tpu.ec import bn254
+    from paillier_halo2_tpu.ff import field_jax as f
+    from paillier_halo2_tpu.msm import pippenger as pip
+
+    wb = 4
+    pts = _rand_points(12)
+    scalars = [RNG.randrange(ech.R) for _ in range(10)] + [12345, 12345]
+    px, py, pinf = bn254.pack_affine(pts)
+    sd = f.pack_ints([s % ech.R for s in scalars])
+    keys = pip._keys_from_digits(jnp.asarray(sd), wb)
+    n_windows = keys.shape[0]
+    # mixed schedule: two blocks (S=2 and S=4), unsorted row order
+    subs = tuple(2 if w % 2 == 0 else 4 for w in range(n_windows))
+    buckets = pip._bucket_accumulate(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf), keys, wb, subs
+    )
+    tw = pip._window_sums(buckets, 1 << wb)
+    wpts = bn254.unpack_jacobian(tw)
+    acc = None
+    for p in reversed(wpts):
+        for _ in range(wb):
+            acc = ech.g1_double(acc)
+        acc = ech.g1_add(acc, p)
+    assert acc == ech.g1_msm(pts, scalars)

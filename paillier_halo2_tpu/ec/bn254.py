@@ -201,6 +201,53 @@ def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf,
     return res
 
 
+@jax.jit
+def pack_points_dense(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """(N_DIGITS, N) x 2 digit arrays -> (N, 16) uint32 dense rows: word k of
+    a coordinate holds digits 4k..4k+3 little-endian; words 0-7 = X, 8-15 = Y.
+    64-byte rows are the MSM gather currency — TPU gathers are per-index
+    bound, so one row gather beats two digit-column gathers 4x wide."""
+    alld = jnp.concatenate([px, py], axis=0)  # (64, N)
+    w = alld.reshape(16, 4, -1)
+    packed = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+    return packed.T  # (N, 16)
+
+
+def _unpack_words_xla(w: jnp.ndarray) -> jnp.ndarray:
+    """(8, L) packed words -> (32, L) digits (XLA fallback mirror of the
+    in-kernel unpack in pallas_point.py)."""
+    parts = [(w >> (8 * i)) & 0xFF for i in range(4)]
+    return jnp.stack(parts, axis=1).reshape(4 * w.shape[0], w.shape[1])
+
+
+@functools.partial(jax.jit, static_argnames=("nodouble",))
+def padd_mixed_packed(p: JPoint, packed: jnp.ndarray, q_inf,
+                      nodouble: bool = False) -> JPoint:
+    """Mixed add with the affine operand in dense-packed ROW form
+    (L, PACK_WORDS) — exactly what a row gather from pack_points_dense
+    produces. On TPU the fused kernel transposes + unpacks in VMEM (no XLA
+    relayout between gather and add); the XLA path unpacks first and reuses
+    padd_mixed."""
+    X1, Y1, Z1 = p
+    lanes = X1.shape[1]
+    assert packed.shape[0] == lanes and X1.ndim == 2
+    if _use_pallas_points((lanes,)):
+        from .pallas_point import BLOCK, padd_mixed_packed_pallas
+
+        pad = (-lanes) % BLOCK
+        if pad:
+            X1, Y1, Z1 = (jnp.pad(c, [(0, 0), (0, pad)]) for c in (X1, Y1, Z1))
+            packed = jnp.pad(packed, [(0, pad), (0, 0)])
+            q_inf = jnp.pad(q_inf, (0, pad), constant_values=True)
+        out = padd_mixed_packed_pallas(
+            SPEC, X1, Y1, Z1, packed, q_inf, nodouble=nodouble
+        )
+        return tuple(c[:, :lanes] for c in out)
+    X2 = _unpack_words_xla(packed.T[:8])
+    Y2 = _unpack_words_xla(packed.T[8:])
+    return padd_mixed(p, (X2, Y2), q_inf, nodouble=nodouble)
+
+
 # -- host <-> device ---------------------------------------------------------
 
 

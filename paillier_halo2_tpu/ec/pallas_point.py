@@ -32,6 +32,18 @@ from ..ff.pallas_mulmod import (
 
 BLOCK = 256
 
+# Dense 256-bit packing: 8 uint32 words per coordinate (word k holds digits
+# 4k..4k+3 little-endian). The MSM bucket loop gathers points in this form —
+# 64 bytes/point instead of 256 — because TPU gathers are per-index bound and
+# one (L, 16) row gather replaces two (32, L) digit-column gathers.
+PACK_WORDS = 16  # 8 for X, 8 for Y
+
+
+def _unpack_words(w):
+    """(8, B) packed uint32 -> (32, B) 8-bit digits, little-endian."""
+    parts = [(w >> (8 * i)) & 0xFF for i in range(4)]  # each (8, B)
+    return jnp.stack(parts, axis=1).reshape(4 * w.shape[0], w.shape[1])
+
 
 def _field_add(a, b, pvec):
     s = _carry_normalize(a + b, 2 * DIGIT_MASK)
@@ -288,4 +300,66 @@ def padd_mixed_pallas(
         out_shape=[jax.ShapeDtypeStruct((nd, n), jnp.uint32)] * 3,
         interpret=interpret,
     )(X1, Y1, Z1, X2, Y2, qi, tmat, mumat, pmat, pvec, one)
+    return tuple(out)
+
+
+def _packed_kernel(x1, y1, z1, pk, qinf, tmat, mumat, pmat, pvec, one, ox, oy, oz,
+                   *, with_double=True, rows=False):
+    w = pk[:].T if rows else pk[:]  # rows=True: operand arrives (BLOCK, 16)
+    X3, Y3, Z3 = _mixed_add_full(
+        x1[:], y1[:], z1[:],
+        _unpack_words(w[:8]), _unpack_words(w[8:]), qinf[:] != 0,
+        tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        with_double=with_double,
+    )
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def padd_mixed_packed_pallas(
+    spec: FieldSpec, X1, Y1, Z1, packed, q_inf=None, interpret: bool = False,
+    nodouble: bool = False,
+):
+    """Mixed add where the affine operand arrives densely packed in row form
+    (N, PACK_WORDS) uint32 (8 words X, 8 words Y — exactly what the MSM
+    bucket gather produces); the kernel transposes and unpacks to digits in
+    VMEM, so no XLA relayout sits between gather and add. q_inf: optional
+    (N,) mask."""
+    nd = spec.n_digits
+    n = X1.shape[1]
+    assert X1.shape == Y1.shape == Z1.shape == (nd, n)
+    assert packed.shape == (n, PACK_WORDS)
+    assert n % BLOCK == 0, f"pad batch to a multiple of {BLOCK}"
+    tmat = jnp.asarray(_conv_gather_matrix(nd, nd, 2 * nd - 1))
+    mumat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.mu_digits), nd, nd))
+    pmat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.p_digits), nd, 2 * nd - 1))
+    pvec = jnp.broadcast_to(jnp.asarray(spec.p_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    one_digits = [(spec.r_mod_p >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(nd)]
+    one = jnp.broadcast_to(jnp.asarray(one_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    if q_inf is None:
+        qi = jnp.zeros((1, n), jnp.uint32)
+    else:
+        qi = q_inf.astype(jnp.uint32).reshape(1, n)
+
+    data_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(mumat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(pmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_packed_kernel, with_double=not nodouble, rows=True),
+        grid=(n // BLOCK,),
+        in_specs=[data_spec] * 3
+        + [pl.BlockSpec((BLOCK, PACK_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + const_specs,
+        out_specs=[data_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nd, n), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(X1, Y1, Z1, packed, qi, tmat, mumat, pmat, pvec, one)
     return tuple(out)

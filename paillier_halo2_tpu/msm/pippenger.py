@@ -115,6 +115,12 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     static per-window schedule (see _sub_schedule); rows with equal counts
     are grouped into rectangular blocks so the merge stays reshape-friendly.
 
+    TPU gathers are per-index bound (row width nearly free up to ~128 words),
+    so the round body does ONE point gather from a dense (N, 16)-word packed
+    table (pack_points_dense) instead of two 256-byte digit-column gathers;
+    the fused add kernel unpacks in VMEM. Points at infinity need no in-loop
+    mask: their keys are forced to 0 and bucket 0 is dead (count 0, weight 0).
+
     Contract: bases must be pairwise-distinct affine points — the in-loop
     mixed adds and merge adds run with nodouble=True (ec/bn254.py padd);
     a partial-sum collision (cryptographically negligible for distinct
@@ -125,9 +131,18 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     if subs is None:
         subs = _sub_schedule(n_windows, window_bits)
     assert len(subs) == n_windows
+    packed = bn254.pack_points_dense(px, py)  # (N, 16)
     keys = jnp.where(p_inf[None, :], 0, keys.astype(jnp.int32))
-    order = jnp.argsort(keys, axis=1)  # (W, N) stable
-    sorted_keys = jnp.take_along_axis(keys, order, axis=1)
+    logn = max((n - 1).bit_length(), 1)
+    if window_bits + logn <= 31:
+        # single fused key sort: key-major, lane-minor => stable order for free
+        lane = jnp.arange(n, dtype=jnp.int32)
+        sk = jnp.sort((keys << logn) | lane[None, :], axis=1)
+        sorted_keys = (sk >> logn).astype(jnp.int32)
+        order = (sk & ((1 << logn) - 1)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(keys, axis=1)  # (W, N) stable
+        sorted_keys = jnp.take_along_axis(keys, order, axis=1)
 
     # Histogram via per-window binary search over the sorted keys — a scatter
     # here would bake O(W*N) constant indices into the graph (this XLA build
@@ -176,11 +191,9 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
         j = sub_map + r * nsub_map  # index within the bucket's sorted run
         pos = jnp.clip(seg_l + j, 0, n - 1)
         idx = jnp.take(order_flat, win_map * n + pos)  # original point indices
-        gx = jnp.take(px, idx, axis=1)  # (D, L)
-        gy = jnp.take(py, idx, axis=1)
-        g_inf = jnp.take(p_inf, idx)  # (L,)
-        mask_off = (j >= counts_l) | g_inf
-        acc = bn254.padd_mixed(acc, (gx, gy), mask_off, nodouble=True)
+        g = jnp.take(packed, idx, axis=0)  # (L, 16) dense rows
+        mask_off = j >= counts_l
+        acc = bn254.padd_mixed_packed(acc, g, mask_off, nodouble=True)
         return r + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))

@@ -67,25 +67,38 @@ def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayou
     n_virtual = table.n_rows
 
     # ---- place virtual rows into columns, never splitting a gate block ----
+    # Vectorized block walk (the scalar loop was O(n_virtual) Python — too
+    # slow past ~10M cells): a block is the 4 rows of a gate or a single
+    # non-gate row; greedy per-column packing via searchsorted over the block
+    # prefix sums.
     gate_starts = np.sort(table.gates)
-    is_gate_start = np.zeros(n_virtual + 1, dtype=bool)
-    is_gate_start[gate_starts] = True
+    cov = np.zeros(n_virtual + 1, dtype=np.int8)
+    np.add.at(cov, gate_starts, 1)
+    np.add.at(cov, np.minimum(gate_starts + 4, n_virtual), -1)
+    inside = np.cumsum(cov[:-1]) > 0  # rows covered by a gate block
+    is_gs = np.zeros(n_virtual + 1, dtype=bool)
+    is_gs[gate_starts] = True
+    starts = np.sort(np.concatenate([gate_starts, np.nonzero(~inside)[0]]))
+    sizes = np.where(is_gs[starts], 4, 1).astype(np.int64)
+    n_blocks = len(starts)
+    prefix = np.concatenate([[0], np.cumsum(sizes)])
+    assert prefix[-1] == n_virtual, "gate blocks overlap"
 
-    col_of = np.zeros(n_virtual, dtype=np.int64)
-    row_of = np.zeros(n_virtual, dtype=np.int64)
-    col, row, v = 0, 0, 0
-    # Walk blocks: a block is 4 rows if a gate starts at v else 1 row.
-    while v < n_virtual:
-        blk = 4 if is_gate_start[v] else 1
-        if row + blk > usable:
-            col += 1
-            row = 0
-        assert blk <= usable, "column too short for a gate block"
-        col_of[v : v + blk] = col
-        row_of[v : v + blk] = row + np.arange(blk)
-        row += blk
-        v += blk
-    num_advice = col + 1
+    cols_blocks = np.zeros(n_blocks, dtype=np.int64)
+    col_base = np.zeros(n_blocks, dtype=np.int64)
+    j0, col = 0, 0
+    while j0 < n_blocks:
+        j1 = int(np.searchsorted(prefix, prefix[j0] + usable, side="right")) - 1
+        assert j1 > j0, "column too short for a gate block"
+        cols_blocks[j0:j1] = col
+        col_base[j0:j1] = prefix[j0]
+        col += 1
+        j0 = j1
+    col_of = np.repeat(cols_blocks, sizes)
+    row_of = np.repeat(prefix[:n_blocks] - col_base, sizes) + (
+        np.arange(n_virtual) - np.repeat(prefix[:n_blocks], sizes)
+    )
+    num_advice = col
 
     # ---- selector columns --------------------------------------------------
     q = np.zeros((num_advice, n), dtype=np.uint8)
@@ -100,77 +113,71 @@ def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayou
         lookup_src[lc, lr] = vrow
 
     # ---- fixed constant column --------------------------------------------
+    # First-appearance dedup of constants into fixed-column cells.
     fixed_const = np.zeros(n, dtype=object)
-    const_cells = {}
-    next_fixed = 0
-    const_pos = np.zeros(len(table.const_idx), dtype=np.int64)
-    for j, (vrow, val) in enumerate(zip(table.const_idx, table.const_val)):
-        key = int(val)
-        if key not in const_cells:
-            assert next_fixed < usable, "fixed column overflow"
-            const_cells[key] = next_fixed
-            fixed_const[next_fixed] = key
-            next_fixed += 1
-        const_pos[j] = const_cells[key]
+    const_vals = np.asarray(table.const_val, dtype=object)
+    const_idx = np.asarray(table.const_idx, dtype=np.int64)
+    if len(const_vals):
+        uniq_vals, first_idx, inv = np.unique(
+            const_vals, return_index=True, return_inverse=True
+        )
+        appearance = np.argsort(first_idx, kind="stable")  # unique-id -> slot order
+        slot_of_uniq = np.empty(len(uniq_vals), dtype=np.int64)
+        slot_of_uniq[appearance] = np.arange(len(uniq_vals))
+        assert len(uniq_vals) <= usable, "fixed column overflow"
+        const_pos = slot_of_uniq[inv]
+        fixed_const[slot_of_uniq] = uniq_vals
+    else:
+        const_pos = np.zeros(0, dtype=np.int64)
 
     # ---- permutation cycles ------------------------------------------------
     # Columns in the permutation: advice 0..na-1, lookup advice na..na+nl-1,
-    # fixed at index na+nl. Build union-find over cell ids.
+    # fixed at index na+nl. Equivalence classes via sparse connected
+    # components (the Python union-find was O(n) interpreted); sigma walks
+    # each class in ascending cell order — identical cycles to the previous
+    # discovery-order construction, which also appended members sorted.
     n_perm_cols = num_advice + num_lookup_advice + 1
     total = n_perm_cols * n
-
-    def cell_id(c, r):
-        return c * n + r
-
-    parent = np.arange(total, dtype=np.int64)
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-
-    def vcell(vrow):
-        return cell_id(col_of[vrow], row_of[vrow])
-
-    for a, b in zip(table.copy_a, table.copy_b):
-        union(vcell(a), vcell(b))
     fixed_col = num_advice + num_lookup_advice
-    for j, vrow in enumerate(table.const_idx):
-        union(vcell(vrow), cell_id(fixed_col, const_pos[j]))
-    for lc in range(num_lookup_advice):
-        for lr in range(n):
-            src = lookup_src[lc, lr]
-            if src >= 0:
-                union(vcell(src), cell_id(num_advice + lc, lr))
 
-    # sigma: next cell in each cycle (cycle order = discovery order per root)
-    groups: dict[int, list[int]] = {}
-    # Only cells that participate in some copy need nontrivial sigma; but we
-    # must emit sigma for every cell. Walk participants only.
-    participants = set()
-    for arr in (table.copy_a, table.copy_b):
-        for v_ in arr:
-            participants.add(vcell(v_))
-    for j, vrow in enumerate(table.const_idx):
-        participants.add(vcell(vrow))
-        participants.add(cell_id(fixed_col, const_pos[j]))
-    for lc in range(num_lookup_advice):
-        for lr in range(n):
-            if lookup_src[lc, lr] >= 0:
-                participants.add(cell_id(num_advice + lc, lr))
-    for cid in sorted(participants):
-        groups.setdefault(find(cid), []).append(cid)
+    vcells = col_of * n + row_of  # virtual row -> advice cell id
+
+    copy_a = np.asarray(table.copy_a, dtype=np.int64)
+    copy_b = np.asarray(table.copy_b, dtype=np.int64)
+    lc_idx, lr_idx = np.nonzero(lookup_src >= 0)
+    ea = np.concatenate([
+        vcells[copy_a],
+        vcells[const_idx] if len(const_idx) else np.zeros(0, np.int64),
+        vcells[lookup_src[lc_idx, lr_idx]],
+    ])
+    eb = np.concatenate([
+        vcells[copy_b],
+        fixed_col * n + const_pos if len(const_idx) else np.zeros(0, np.int64),
+        (num_advice + lc_idx) * n + lr_idx,
+    ])
 
     sigma = np.arange(total, dtype=np.int64)
-    for members in groups.values():
-        for i, cid in enumerate(members):
-            sigma[cid] = members[(i + 1) % len(members)]
+    if len(ea):
+        import scipy.sparse
+        from scipy.sparse.csgraph import connected_components
+
+        cells = np.unique(np.concatenate([ea, eb]))
+        m = len(cells)
+        ia = np.searchsorted(cells, ea)
+        ib = np.searchsorted(cells, eb)
+        graph = scipy.sparse.coo_matrix(
+            (np.ones(len(ia), dtype=np.int8), (ia, ib)), shape=(m, m)
+        )
+        _, labels = connected_components(graph, directed=False)
+        order = np.lexsort((cells, labels))
+        sc = cells[order]
+        sl = labels[order]
+        is_start = np.r_[True, sl[1:] != sl[:-1]]
+        grp_start = sc[np.maximum.accumulate(np.where(is_start, np.arange(m), 0))]
+        nxt = np.r_[sc[1:], np.int64(-1)]
+        is_last = np.r_[is_start[1:], True]
+        nxt[is_last] = grp_start[is_last]
+        sigma[sc] = nxt
     sigma_col = (sigma // n).reshape(n_perm_cols, n)
     sigma_row = (sigma % n).reshape(n_perm_cols, n)
 

@@ -16,49 +16,87 @@ from ..ec import host as ech
 from ..msm import pippenger as pip
 
 
-def msm_sharded(mesh, px, py, p_inf, scalar_digits, window_bits: int = 8) -> ech.Point:
-    """MSM with the point axis sharded across `mesh`'s 'x' axis.
+def msm_sharded_multi(
+    mesh, px, py, p_inf, scalar_digits_multi, window_bits: int = 8
+) -> list[ech.Point]:
+    """Batched MSMs sharing one base set, the point axis sharded across
+    `mesh`'s 'x' axis: scalar_digits_multi is (P, 32, N); returns P host
+    affine results.
 
-    Per chip: local Pippenger bucket accumulation (identical SPMD program on
-    the local shard; no communication). Cross-chip: the per-chip bucket sets
-    are combined with a log-depth pairwise point-add tree — point addition is
-    the reduction operator, so a plain psum cannot be used; the gather rides
-    the mesh axis once (buckets are tiny next to the point set).
+    Per chip: local Pippenger bucket accumulation with the poly axis folded
+    into the window axis (identical SPMD program on the local shard; no
+    communication). Cross-chip: the per-chip bucket sets are combined with a
+    log-depth pairwise point-add tree — point addition is the reduction
+    operator, so a plain psum cannot be used; the gather rides the mesh axis
+    once (buckets are tiny next to the point set).
     """
+    sd = jnp.asarray(scalar_digits_multi)
+    assert sd.ndim == 3
     n = px.shape[1]
     d = mesh.devices.size
     assert n % d == 0, "pad point count to a multiple of the mesh size"
-    keys = pip._keys_from_digits(jnp.asarray(scalar_digits), window_bits)
+    axes = mesh.axis_names  # 1D ("x",) or 2D ("host", "chip")
+    n_polys = sd.shape[0]
+    keys = jax.vmap(lambda s: pip._keys_from_digits(s, window_bits))(sd)  # (P, W, N)
+    n_windows = keys.shape[1]
+    keys = keys.reshape(n_polys * n_windows, -1)
+    subs = pip._sub_schedule(n_windows, window_bits) * n_polys  # row = p*W + w
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "x"), P(None, "x"), P("x"), P(None, "x")),
-        out_specs=P(None, "x", None, None, None),
+        in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes)),
+        out_specs=P(None, axes, None, None, None),
         check_vma=False,
     )
     def local_buckets(lpx, lpy, lpinf, lkeys):
-        acc = pip._bucket_accumulate(lpx, lpy, lpinf, lkeys, window_bits)
-        return jnp.stack(acc)[:, None]  # (3, 1, 32, W, B) per device
+        acc = pip._bucket_accumulate(lpx, lpy, lpinf, lkeys, window_bits, subs)
+        return jnp.stack(acc)[:, None]  # (3, 1, 32, P*W, B) per device
 
     stacked = local_buckets(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys)
-    # stacked: (3, d, 32, W, B) — move digits first, reduce the device axis.
-    p = tuple(jnp.moveaxis(stacked[i], 1, 0) for i in range(3))  # (32, d, W, B)
-    while p[0].shape[1] > 1:
-        m = p[0].shape[1]
-        half = m // 2
-        a = tuple(c[:, :half] for c in p)
-        b = tuple(c[:, half : 2 * half] for c in p)
-        s = bn254.padd(a, b)
-        if m % 2:
-            s = tuple(jnp.concatenate([sc, c[:, -1:]], axis=1) for sc, c in zip(s, p))
-        p = s
-    buckets = tuple(c[:, 0] for c in p)
+
+    # stacked: (3, d, 32, P*W, B) — move digits first, then reduce the device
+    # axes minor-to-major (chips within a host over ICI before hosts over
+    # DCN) with log-depth pairwise point-add trees.
+    def _tree_reduce_axis(p, axis):
+        while p[0].shape[axis] > 1:
+            m = p[0].shape[axis]
+            half = m // 2
+            sl = lambda lo, hi: tuple(
+                jnp.take(c, jnp.arange(lo, hi), axis=axis) for c in p
+            )
+            s = bn254.padd(sl(0, half), sl(half, 2 * half))
+            if m % 2:
+                s = tuple(
+                    jnp.concatenate([sc, jnp.take(c, jnp.arange(m - 1, m), axis=axis)], axis=axis)
+                    for sc, c in zip(s, p)
+                )
+            p = s
+        return p
+
+    mesh_shape = mesh.devices.shape  # e.g. (8,) or (n_hosts, chips_per_host)
+    p = tuple(
+        jnp.moveaxis(stacked[i], 1, 0).reshape((32,) + mesh_shape + stacked.shape[3:])
+        for i in range(3)
+    )  # (32, *mesh_shape, PW, B)
+    for axis in range(len(mesh_shape), 0, -1):  # minor (ICI) first
+        p = _tree_reduce_axis(p, axis)
+    buckets = tuple(c.reshape((32,) + stacked.shape[3:]) for c in p)
     tw = pip._window_sums(buckets, 1 << window_bits)
-    pts = bn254.unpack_jacobian(tw)
-    acc = None
-    for pt in reversed(pts):
-        for _ in range(window_bits):
-            acc = ech.g1_double(acc)
-        acc = ech.g1_add(acc, pt)
-    return acc
+    pts = bn254.unpack_jacobian(tw)  # (P*W) window sums, poly-major
+    out = []
+    for pi in range(n_polys):
+        acc = None
+        for pt in reversed(pts[pi * n_windows : (pi + 1) * n_windows]):
+            for _ in range(window_bits):
+                acc = ech.g1_double(acc)
+            acc = ech.g1_add(acc, pt)
+        out.append(acc)
+    return out
+
+
+def msm_sharded(mesh, px, py, p_inf, scalar_digits, window_bits: int = 8) -> ech.Point:
+    """Single sharded MSM (see msm_sharded_multi)."""
+    return msm_sharded_multi(
+        mesh, px, py, p_inf, jnp.asarray(scalar_digits)[None], window_bits
+    )[0]

@@ -12,6 +12,11 @@ row-major sharded by j1:
 
 Output X[k2*n1 + k1] lands as O[k1, k2] with k1 = chip index — the natural
 four-step strided layout; `reorder_output` produces the flat natural order.
+
+The inverse transform is the same decomposition over w^{-1}; the two local
+inverse sub-NTTs contribute 1/d * 1/n2 = 1/n, so no extra scaling step.
+Batched middle axes (the prover transforms whole column phases at once) ride
+through every stage unchanged.
 """
 from __future__ import annotations
 
@@ -33,11 +38,13 @@ PRIME = host.FR_MOD
 
 
 @functools.lru_cache(maxsize=None)
-def _step3_twiddles(k: int, d: int) -> np.ndarray:
-    """(N_DIGITS, d, n2) Montgomery digits of w_N^{k1*j2}."""
+def _step3_twiddles(k: int, d: int, inverse: bool) -> np.ndarray:
+    """(N_DIGITS, d, n2) Montgomery digits of w_N^{±k1*j2}."""
     n = 1 << k
     n2 = n // d
     w = host.root_of_unity(k)
+    if inverse:
+        w = pow(w, PRIME - 2, PRIME)
     vals = []
     for k1 in range(d):
         wk1 = pow(w, k1, PRIME)
@@ -48,53 +55,64 @@ def _step3_twiddles(k: int, d: int) -> np.ndarray:
     return ops.pack_values([v for v in vals]).reshape(N_DIGITS, d, n2)
 
 
-def ntt_distributed(mesh, x: jnp.ndarray, k: int):
-    """NTT of a (N_DIGITS, 2^k) Montgomery array, point axis sharded over
-    mesh axis 'x'. Returns (N_DIGITS, d, n2) in four-step layout."""
+def ntt_distributed(mesh, x: jnp.ndarray, k: int, inverse: bool = False):
+    """NTT of a (N_DIGITS, *batch, 2^k) Montgomery array, point axis sharded
+    over mesh axis 'x'. Returns (N_DIGITS, *batch, d, n2) in four-step
+    layout (use `reorder_output` for natural order)."""
     d = mesh.devices.size
     n = 1 << k
     n2 = n // d
     assert n % (d * d) == 0, "need d^2 | n for the all-to-all chunking"
     k1_bits = d.bit_length() - 1
     assert 1 << k1_bits == d, "mesh size must be a power of two"
-    tw = jnp.asarray(_step3_twiddles(k, d))
+    batch = x.shape[1:-1]
+    xb = x.reshape(N_DIGITS, -1, n)  # fold batch axes into one
+    B = xb.shape[1]
+    tw = jnp.asarray(_step3_twiddles(k, d, inverse))
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, "x"), P(None, None, "x")),
-        out_specs=P(None, "x", None),
+        in_specs=(P(None, None, "x"), P(None, None, "x")),
+        out_specs=P(None, None, "x", None),
         check_vma=False,
     )
     def run(local, tw_local):
-        # local: (D, n2) = row j1 = this chip; tw_local: (D, d, n2/d)
+        # local: (D, B, n2) = row j1 = this chip; tw_local: (D, d, n2/d)
         m = n2 // d
-        a = local.reshape(N_DIGITS, d, m)
-        # 1. transpose: now axis1 = source chip = j1, trailing = j2 chunk
-        a = jax.lax.all_to_all(a, "x", split_axis=1, concat_axis=1)
-        # 2. column NTTs of length d over axis 1 (batch over j2 chunk)
-        a = jax.vmap(lambda v: ntt(v, k1_bits), in_axes=2, out_axes=2)(a)
-        # 3. twiddle: local j2 chunk of w^{k1*j2}; tw_local is (D, d(k1), m)
-        a = f.mont_mul(SPEC, a, tw_local)
+        a = local.reshape(N_DIGITS, B, d, m)
+        # 1. transpose: now axis 2 = source chip = j1, trailing = j2 chunk
+        a = jax.lax.all_to_all(a, "x", split_axis=2, concat_axis=2)
+        # 2. column NTTs of length d over axis 2 (batch over B and j2 chunk)
+        a = jax.vmap(lambda v: ntt(v, k1_bits, inverse), in_axes=3, out_axes=3)(a)
+        # 3. twiddle: local j2 chunk of w^{±k1*j2}; tw_local is (D, d(k1), m)
+        a = f.mont_mul(SPEC, a, tw_local[:, None])
         # 4. transpose back: full j2 row for own k1. all_to_all with distinct
         # split/concat axes inserts the source-device axis as the MINOR
-        # dimension at concat position -> (D, m, d); global j2 = p*m + l, so
-        # swap to (D, d, m) before flattening.
-        a = jax.lax.all_to_all(a, "x", split_axis=1, concat_axis=2)
-        a = jnp.swapaxes(a, 1, 2)
+        # dimension at concat position -> (D, B, m, d); global j2 = p*m + l,
+        # so swap to (D, B, d, m) before flattening.
+        a = jax.lax.all_to_all(a, "x", split_axis=2, concat_axis=3)
+        a = jnp.swapaxes(a, 2, 3)
         # 5. row NTT of length n2
-        a = ntt(a.reshape(N_DIGITS, n2), k - k1_bits)
-        return a[:, None, :]  # (D, 1, n2) -> global (D, d, n2)
+        a = ntt(a.reshape(N_DIGITS, B, n2), k - k1_bits, inverse)
+        return a[:, :, None, :]  # (D, B, 1, n2) -> global (D, B, d, n2)
 
     # Chip q's step-3 layout is (all k1, j2 in chunk q); sharding the global
     # twiddle array along its j2 axis hands each chip exactly that block.
-    return run(x, tw)
+    out = run(xb, tw)
+    return out.reshape(N_DIGITS, *batch, d, n2) if batch else out[:, 0]
 
 
 def reorder_output(out) -> jnp.ndarray:
-    """(D, d, n2) four-step layout -> (D, n) natural order: X[k2*d + k1]."""
-    nd, d, n2 = out.shape
-    return jnp.moveaxis(out, 1, 2).reshape(nd, d * n2)
+    """(D, *batch, d, n2) four-step layout -> (D, *batch, n) natural order:
+    X[k2*d + k1]."""
+    d, n2 = out.shape[-2], out.shape[-1]
+    return jnp.moveaxis(out, -2, -1).reshape(*out.shape[:-2], d * n2)
+
+
+def ntt_natural(mesh, x: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
+    """Distributed NTT returning natural index order (one extra reshard)."""
+    return reorder_output(ntt_distributed(mesh, x, k, inverse))
 
 
 def ntt_reference(x: jnp.ndarray, k: int) -> jnp.ndarray:

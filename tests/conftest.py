@@ -20,6 +20,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # (measured on the Jacobian point-double). Disable fusion for CPU tests.
 if "xla_disable_hlo_passes" not in flags:
     flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
+# 8 virtual device threads time-share ~4 cores: a device can sit in a
+# collective rendezvous for minutes while the others' long per-shard programs
+# (e.g. the MSM bucket loop) finish. XLA:CPU hard-aborts such rendezvous after
+# 40s by default — raise both timeouts far above any test's runtime.
+if "collective_call_terminate" not in flags:
+    flags = (
+        flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    ).strip()
 os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 

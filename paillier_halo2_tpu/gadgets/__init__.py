@@ -1,5 +1,5 @@
 from .biguint import AssignedBigUint, BigUintChip, RefreshAux
-from .context import Cells, Context, VirtualTable
+from .context import Cells, Context, SinglePhaseCoreManager, VirtualTable
 from .gate import GateChip
 from .paillier import EncryptionPublicKeyAssigned, PaillierChip
 from .range import RangeChip
@@ -7,6 +7,7 @@ from .range import RangeChip
 __all__ = [
     "Context",
     "Cells",
+    "SinglePhaseCoreManager",
     "VirtualTable",
     "GateChip",
     "RangeChip",

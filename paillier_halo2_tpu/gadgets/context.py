@@ -195,3 +195,22 @@ class VirtualTable:
     @property
     def n_rows(self) -> int:
         return len(self.values)
+
+
+class SinglePhaseCoreManager:
+    """API-parity alias for halo2-base's witness pool
+    (/root/reference/src/bench.rs:3,38: `pool.main()` hands the synthesis
+    closure its Context). The reference pools Contexts for rayon-threaded
+    witness generation; here synthesis is already vectorized block-appends
+    (see module docstring), so one Context serves — `main()` returns it,
+    matching the consumer pattern `paillier_enc_test(pool.main(), range, ...)`.
+    """
+
+    def __init__(self) -> None:
+        self._ctx = Context()
+
+    def main(self) -> Context:
+        return self._ctx
+
+    def finalize(self) -> VirtualTable:
+        return self._ctx.finalize()

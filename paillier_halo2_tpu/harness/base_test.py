@@ -91,6 +91,15 @@ class BaseTester:
             assert not mock.satisfied, "expected an unsatisfied constraint system"
         return RunResult(table, config, mock, t1 - t0, t2 - t1)
 
+    def bench_builder(self, init_input, logic_input, circuit_fn):
+        """Full prove/verify pipeline — the reference's
+        `.bench_builder(init_input, input, f)` (/root/reference/src/bench.rs:
+        161-171): shape discovery with `init_input`, keygen, witness synthesis
+        with `logic_input`, KZG proof, verification. Returns BenchStats."""
+        from .bench import bench_builder as _bench
+
+        return _bench(self._k, self._lookup_bits, init_input, logic_input, circuit_fn)
+
 
 def base_test() -> BaseTester:
     return BaseTester()

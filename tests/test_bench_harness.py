@@ -1,0 +1,57 @@
+"""CI-size coverage of the `bench_builder` full-pipeline path — the analog of
+the reference's bench tests (/root/reference/src/bench.rs:161-222: shape
+discovery, SRS, keygen, prove, verify, stat fields) at a small geometry so it
+runs in seconds instead of the reference's k=14."""
+import random
+
+from paillier_halo2_tpu.bignum.host import paillier_add_native, paillier_enc_native
+from paillier_halo2_tpu.harness import (
+    PaillierAddCipherInput,
+    PaillierEncryptionInput,
+    base_test,
+    paillier_enc_add_test,
+    paillier_enc_test,
+)
+
+RNG = random.Random(14)
+
+
+def _check_stats(stats):
+    # the reference prints exactly these fields (src/bench.rs:173-178)
+    assert stats.verified
+    assert stats.proof_size > 0
+    for fld in ("vk_time", "pk_time", "proof_time", "verify_time"):
+        assert getattr(stats, fld) >= 0.0
+    assert stats.config_params.k >= 1
+    text = stats.pretty()
+    assert "proof size" in text and "config params" in text
+
+
+def test_bench_builder_enc():
+    ENC, LIMB = 16, 8
+    n = RNG.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+    g, m, r = (RNG.getrandbits(ENC) for _ in range(3))
+    inp = PaillierEncryptionInput(
+        enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=r,
+        res=paillier_enc_native(n, g, m, r),
+    )
+    # reference passes input.clone() as both init and logic input
+    # (src/bench.rs:165-170)
+    stats = base_test().k(10).lookup_bits(9).bench_builder(
+        inp, inp, lambda ctx, rc, i: paillier_enc_test(ctx, rc, i)
+    )
+    _check_stats(stats)
+
+
+def test_bench_builder_add():
+    ENC, LIMB = 16, 8
+    n = RNG.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+    g, c1, c2 = (RNG.getrandbits(ENC) for _ in range(3))
+    inp = PaillierAddCipherInput(
+        limb_bits=LIMB, enc_bits=ENC, n=n, g=g, c1=c1, c2=c2,
+        res=paillier_add_native(n, c1, c2),
+    )
+    stats = base_test().k(10).lookup_bits(9).bench_builder(
+        inp, inp, lambda ctx, rc, i: paillier_enc_add_test(ctx, rc, i)
+    )
+    _check_stats(stats)

@@ -98,6 +98,21 @@ def lib():
         ctypes.c_int,
     ]
     L.pairing_check_c.restype = ctypes.c_int
+    L.fr_ctx_init.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64]
+    L.fr_ntt_c.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+    ]
+
+    from ..ff.host import FR_MOD as R
+
+    fr_r2 = (1 << 512) % R
+    fr_ninv = (-pow(R, -1, 1 << 64)) % (1 << 64)
+    L.fr_ctx_init(R.to_bytes(32, "little"), fr_r2.to_bytes(32, "little"), fr_ninv)
 
     r2 = (1 << 512) % Q
     ninv = (-pow(Q, -1, 1 << 64)) % (1 << 64)
@@ -145,6 +160,47 @@ def g1_mul(p, k: int):
     out = ctypes.create_string_buffer(64)
     oinf = ctypes.c_int()
     L.g1_mul_c(pb, pi, kb, len(kb), out, ctypes.byref(oinf))
+    return _dec_g1(out.raw, oinf)
+
+
+def fr_ntt(data, k: int, inverse: bool) -> None:
+    """In-place radix-2 NTT over Fr on a C-contiguous (batch, n, 32) uint8
+    numpy array of little-endian Montgomery-form elements (n = 2^k). Mirrors
+    poly/ntt.py `ntt` (in-order DIT, inverse includes the 1/n scale)."""
+    import numpy as np
+
+    from ..ff.host import FR_MOD, root_of_unity
+
+    L = lib()
+    assert L is not None, "native library unavailable"
+    assert data.dtype == np.uint8 and data.flags["C_CONTIGUOUS"]
+    n = 1 << k
+    assert data.shape[-2:] == (n, 32)
+    batch = data.size // (n * 32)
+    w = root_of_unity(k) if k else 1
+    scale = b"\x00" * 32
+    if inverse:
+        w = pow(w, FR_MOD - 2, FR_MOD)
+        scale = pow(n, FR_MOD - 2, FR_MOD).to_bytes(32, "little")
+    L.fr_ntt_c(
+        data.ctypes.data_as(ctypes.c_void_p),
+        n,
+        batch,
+        w.to_bytes(32, "little"),
+        scale,
+        1 if inverse else 0,
+    )
+
+
+def g1_msm_raw(pts: bytes, infs: bytes, scalars: bytes, n: int):
+    """MSM over pre-encoded buffers: pts = n*64 bytes of little-endian affine
+    (x, y), infs = n bytes, scalars = n*32 bytes little-endian. Avoids the
+    per-point Python encode of `g1_msm` for callers that cache the base
+    encoding (the KZG CPU commit backend encodes the SRS once)."""
+    L = lib()
+    out = ctypes.create_string_buffer(64)
+    oinf = ctypes.c_int()
+    L.g1_msm_c(pts, infs, scalars, n, out, ctypes.byref(oinf))
     return _dec_g1(out.raw, oinf)
 
 

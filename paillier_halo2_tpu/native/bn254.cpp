@@ -621,10 +621,204 @@ static FQ12 fq12_shift(const FQ12 &a, int s) {  // multiply by w^s, s <= 3
 }
 
 // ---------------------------------------------------------------------------
+// Fr (scalar field) context + radix-2 NTT — the CPU backend for the
+// polynomial transforms (poly/ntt.py is the TPU path; on the CPU test
+// platform XLA's unfused thunk dispatch makes the digit-vector butterflies
+// ~1000x slower than this). Semantics mirror poly/ntt.py `ntt` exactly:
+// in-order DIT with bit-reversal, natural-order output, optional 1/n scale.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <thread>
+#include <vector>
+
+static U256 FRQ;     // scalar-field modulus r
+static U256 FRR2;    // (2^256)^2 mod r
+static u64 FRNINV;   // -r^{-1} mod 2^64
+static U256 FR_ONE_M;
+
+static inline bool fr_geq(const U256 &a, const U256 &b) {
+  for (int i = 3; i >= 0; --i) {
+    if (a.v[i] != b.v[i]) return a.v[i] > b.v[i];
+  }
+  return true;
+}
+
+static inline void fr_add(U256 &o, const U256 &a, const U256 &b) {
+  u128 carry = 0;
+  u64 t[4];
+  for (int i = 0; i < 4; ++i) {
+    u128 s = (u128)a.v[i] + b.v[i] + carry;
+    t[i] = (u64)s;
+    carry = s >> 64;
+  }
+  U256 r;
+  memcpy(r.v, t, sizeof(t));
+  if (carry || fr_geq(r, FRQ)) {
+    U256 d;
+    sub_nored(d, r, FRQ);
+    o = d;
+  } else {
+    o = r;
+  }
+}
+
+static inline void fr_sub(U256 &o, const U256 &a, const U256 &b) {
+  if (fr_geq(a, b)) {
+    sub_nored(o, a, b);
+  } else {
+    U256 t;
+    sub_nored(t, b, a);
+    sub_nored(o, FRQ, t);
+  }
+}
+
+// Montgomery CIOS against the Fr modulus (same structure as fp_mul).
+static inline void fr_mul(U256 &o, const U256 &a, const U256 &b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 s = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+      t[j] = (u64)s;
+      carry = s >> 64;
+    }
+    u128 s = (u128)t[4] + carry;
+    t[4] = (u64)s;
+    t[5] = (u64)(s >> 64);
+
+    u64 m = t[0] * FRNINV;
+    carry = 0;
+    u128 s0 = (u128)t[0] + (u128)m * FRQ.v[0];
+    carry = s0 >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 s2 = (u128)t[j] + (u128)m * FRQ.v[j] + carry;
+      t[j - 1] = (u64)s2;
+      carry = s2 >> 64;
+    }
+    u128 s3 = (u128)t[4] + carry;
+    t[3] = (u64)s3;
+    t[4] = t[5] + (u64)(s3 >> 64);
+    t[5] = 0;
+  }
+  U256 r = {{t[0], t[1], t[2], t[3]}};
+  if (t[4] || fr_geq(r, FRQ)) {
+    U256 d;
+    sub_nored(d, r, FRQ);
+    o = d;
+  } else {
+    o = r;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
 extern "C" {
+
+void fr_ctx_init(const uint8_t q[32], const uint8_t r2[32], u64 ninv) {
+  memcpy(FRQ.v, q, 32);
+  memcpy(FRR2.v, r2, 32);
+  FRNINV = ninv;
+  U256 one = {{1, 0, 0, 0}};
+  fr_mul(FR_ONE_M, one, FRR2);
+}
+
+// In-place NTT along n for `batch` contiguous rows of n 32-byte little-endian
+// Montgomery-form Fr elements. root: standard-form primitive n-th root
+// (caller passes w^{-1} for the inverse transform); scale: standard-form
+// multiplier applied to every output when apply_scale != 0 (n^{-1} for the
+// inverse transform). Rows are processed by a small thread pool.
+void fr_ntt_c(uint8_t *data, u64 n, u64 batch, const uint8_t root[32],
+              const uint8_t scale[32], int apply_scale) {
+  int k = 0;
+  while ((1ull << k) < n) ++k;
+
+  // bit-reversal table
+  std::vector<u64> rev(n);
+  for (u64 i = 0; i < n; ++i) {
+    u64 r = 0;
+    for (int b = 0; b < k; ++b) r |= ((i >> b) & 1) << (k - 1 - b);
+    rev[i] = r;
+  }
+
+  // stage twiddles: stage s (half = 2^s) uses base root^(n / 2^{s+1});
+  // tws[s][j] = base^j in Montgomery form, laid out in one flat buffer.
+  U256 root_m;
+  memcpy(root_m.v, root, 32);
+  fr_mul(root_m, root_m, FRR2);  // to Montgomery
+  std::vector<U256> base(k);
+  if (k > 0) {
+    base[k - 1] = root_m;
+    for (int s = k - 2; s >= 0; --s) fr_mul(base[s], base[s + 1], base[s + 1]);
+  }
+  std::vector<U256> tws(n > 1 ? n - 1 : 0);
+  std::vector<u64> toff(k, 0);
+  {
+    u64 off = 0;
+    for (int s = 0; s < k; ++s) {
+      toff[s] = off;
+      u64 half = 1ull << s;
+      U256 acc = FR_ONE_M;
+      for (u64 j = 0; j < half; ++j) {
+        tws[off + j] = acc;
+        U256 t;
+        fr_mul(t, acc, base[s]);
+        acc = t;
+      }
+      off += half;
+    }
+  }
+
+  U256 scale_m;
+  if (apply_scale) {
+    memcpy(scale_m.v, scale, 32);
+    fr_mul(scale_m, scale_m, FRR2);
+  }
+
+  std::atomic<u64> next{0};
+  auto worker = [&]() {
+    std::vector<U256> x(n);
+    for (;;) {
+      u64 row = next.fetch_add(1);
+      if (row >= batch) break;
+      uint8_t *d = data + row * n * 32;
+      for (u64 i = 0; i < n; ++i) memcpy(x[i].v, d + rev[i] * 32, 32);
+      for (int s = 0; s < k; ++s) {
+        u64 half = 1ull << s;
+        const U256 *tw = &tws[toff[s]];
+        for (u64 start = 0; start < n; start += 2 * half) {
+          for (u64 j = 0; j < half; ++j) {
+            U256 v;
+            fr_mul(v, x[start + half + j], tw[j]);
+            U256 u = x[start + j];
+            fr_add(x[start + j], u, v);
+            fr_sub(x[start + half + j], u, v);
+          }
+        }
+      }
+      if (apply_scale) {
+        for (u64 i = 0; i < n; ++i) {
+          U256 t;
+          fr_mul(t, x[i], scale_m);
+          x[i] = t;
+        }
+      }
+      for (u64 i = 0; i < n; ++i) memcpy(d + i * 32, x[i].v, 32);
+    }
+  };
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > batch) nt = (unsigned)batch;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (unsigned i = 0; i < nt; ++i) threads.emplace_back(worker);
+    for (auto &t : threads) t.join();
+  }
+}
 
 void fp_ctx_init(const uint8_t q[32], const uint8_t r2[32], u64 ninv,
                  u64 ate_lo, u64 ate_hi) {

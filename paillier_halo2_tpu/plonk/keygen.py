@@ -89,15 +89,9 @@ def _values_to_coeffs(vals) -> jnp.ndarray:
 
 
 def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKey:
-    import os
-    import time
+    from ..utils.trace import PhaseTimer
 
-    _t0 = time.monotonic()
-    _trace = os.environ.get("PAILLIER_TPU_TRACE")
-
-    def _mark(label):
-        if _trace:
-            print(f"[keygen] {label}: {time.monotonic() - _t0:.2f}s", flush=True)
+    _mark = PhaseTimer("keygen").mark
 
     assert srs.k >= k
     layout = assign_layout(table, k, lookup_bits)

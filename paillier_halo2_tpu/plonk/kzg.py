@@ -12,7 +12,7 @@ import jax
 
 from ..ec import host as ech
 from ..ff import field_jax as f
-from ..msm.pippenger import msm_packed, msm_packed_multi
+from ..msm.pippenger import msm_packed_multi
 from .srs import SRS
 
 
@@ -26,16 +26,56 @@ def commit(srs: SRS, coeffs_mont: jnp.ndarray, window_bits: int | None = None) -
     """Commit to a polynomial given in Montgomery coefficient form (D, m)."""
     if window_bits is None:
         window_bits = default_window_bits()
-    m = coeffs_mont.shape[1]
-    assert m <= srs.n, f"polynomial degree {m} exceeds SRS size {srs.n}"
-    scalars = f.from_mont(f.FR, coeffs_mont)  # standard-form digits
-    return msm_packed(
-        jnp.asarray(srs.g1_px[:, :m]),
-        jnp.asarray(srs.g1_py[:, :m]),
-        jnp.asarray(srs.g1_inf[:m]),
-        scalars,
-        window_bits=window_bits,
-    )
+    return commit_many(srs, [coeffs_mont], window_bits)[0]
+
+
+# SRS base points pre-encoded for the native CPU MSM backend, cached per SRS
+# object (the encode walks every point once in Python; commits then slice the
+# byte prefix for any m <= srs.n).
+_NATIVE_SRS_CACHE: dict[int, tuple[bytes, bytes]] = {}
+
+
+def _native_srs_bytes(srs: SRS) -> tuple[bytes, bytes]:
+    ent = _NATIVE_SRS_CACHE.get(id(srs))
+    if ent is None:
+        from ..native import _enc_g1
+
+        pts = srs.g1_points()
+        pb, infs = bytearray(64 * len(pts)), bytearray(len(pts))
+        for i, p in enumerate(pts):
+            b, inf = _enc_g1(p)
+            pb[64 * i : 64 * i + 64] = b
+            infs[i] = inf
+        ent = (bytes(pb), bytes(infs))
+        _NATIVE_SRS_CACHE[id(srs)] = ent
+    return ent
+
+
+def _use_native_backend() -> bool:
+    """CPU platform (tests, virtual meshes) routes commits through the native
+    C++ Pippenger: the device MSM kernel is built for TPU and runs ~1000x
+    slower through unfused XLA:CPU thunks. PAILLIER_TPU_COMMIT_BACKEND
+    overrides: 'device' forces the JAX path (used by the multi-chip dryrun so
+    the sharded MSM really compiles), 'native' forces C++."""
+    mode = os.environ.get("PAILLIER_TPU_COMMIT_BACKEND", "auto")
+    if mode == "device":
+        return False
+    if mode == "native":
+        return True
+    return jax.devices()[0].platform == "cpu"
+
+
+def _commit_many_native(srs: SRS, coeffs_list, m: int) -> list[ech.Point]:
+    from ..native import g1_msm_raw
+
+    pts_b, infs_b = _native_srs_bytes(srs)
+    pts_b, infs_b = pts_b[: 64 * m], infs_b[:m]
+    out = []
+    for c in coeffs_list:
+        digits = np.asarray(f.from_mont(f.FR, c), dtype=np.uint32)  # (32, m)
+        sc = np.ascontiguousarray(digits.astype(np.uint8).T).tobytes()
+        out.append(g1_msm_raw(pts_b, infs_b, sc, m))
+    return out
 
 
 def commit_many(srs: SRS, coeffs_list, window_bits: int | None = None) -> list[ech.Point]:
@@ -48,7 +88,23 @@ def commit_many(srs: SRS, coeffs_list, window_bits: int | None = None) -> list[e
     m = coeffs_list[0].shape[1]
     assert all(c.shape[1] == m for c in coeffs_list), "pad polys to equal width"
     assert m <= srs.n
+    if _use_native_backend():
+        return _commit_many_native(srs, coeffs_list, m)
     scalars = jnp.stack([f.from_mont(f.FR, c) for c in coeffs_list])
+    from ..poly import ops as _ops
+
+    mesh = _ops._ACTIVE_MESH
+    if mesh is not None and mesh.devices.size > 1 and m % mesh.devices.size == 0:
+        from ..mesh.msm import msm_sharded_multi  # sharded bucket accumulation
+
+        return msm_sharded_multi(
+            mesh,
+            jnp.asarray(srs.g1_px[:, :m]),
+            jnp.asarray(srs.g1_py[:, :m]),
+            jnp.asarray(srs.g1_inf[:m]),
+            scalars,
+            window_bits=window_bits,
+        )
     return msm_packed_multi(
         jnp.asarray(srs.g1_px[:, :m]),
         jnp.asarray(srs.g1_py[:, :m]),

@@ -34,7 +34,6 @@ from ..ff import host
 from ..gadgets.context import VirtualTable
 from ..harness.base_test import BLINDING_ROWS
 from ..poly import ops
-from ..poly.ntt import ntt
 from .keygen import EXTENDED_RATE_BITS, ProvingKey
 from .kzg import commit, commit_many
 from .layout import lookup_columns, witness_columns
@@ -54,31 +53,27 @@ def _blind_tail(vals: np.ndarray, usable: int, seed: bytes, tag: bytes) -> np.nd
 
 
 def _permuted_lookup(a_active: np.ndarray, lookup_bits: int, usable: int):
-    """halo2 permuted-lookup pair construction over the active region.
-    Returns (a_sorted, s_sorted) as int arrays of length usable."""
+    """halo2 permuted-lookup pair construction over the active region,
+    vectorized (the row loop was O(usable) Python — too slow at k=20).
+    Returns (a_sorted, s_sorted) as int arrays of length usable.
+
+    Rule: A' = sorted A; at every first occurrence S'[i] = A'[i]; the holes
+    (where A'[i] == A'[i-1]) take the unused table values ascending, then the
+    table's surplus zeros. Table multiset over active rows: {0..2^l-1} plus
+    (usable - 2^l) zeros."""
     a_sorted = np.sort(np.asarray([int(v) for v in a_active], dtype=np.int64))
     n_table = 1 << lookup_bits
     if len(a_sorted) and (a_sorted[0] < 0 or a_sorted[-1] >= n_table):
         raise ValueError("lookup input outside table range")
-    # Table multiset over active rows: {0..2^l-1} plus (usable - 2^l) zeros.
-    used = np.zeros(n_table, dtype=np.int64)
-    s_sorted = np.full(usable, -1, dtype=np.int64)
-    for i in range(usable):
-        v = a_sorted[i]
-        if i == 0 or v != a_sorted[i - 1]:
-            s_sorted[i] = v
-            used[v] += 1
-    # Fill remaining slots with leftover table values (each value once, plus
-    # the surplus zeros).
-    leftovers = []
-    for v in range(n_table):
-        if not used[v]:
-            leftovers.append(v)
-    surplus_zeros = usable - n_table - (np.sum(s_sorted == -1) - len(leftovers))
-    fill = iter(leftovers + [0] * max(0, usable))  # zeros pad arbitrarily many
-    for i in range(usable):
-        if s_sorted[i] == -1:
-            s_sorted[i] = next(fill)
+    first = np.empty(usable, dtype=bool)
+    first[0] = True
+    np.not_equal(a_sorted[1:], a_sorted[:-1], out=first[1:])
+    s_sorted = np.where(first, a_sorted, np.int64(-1))
+    leftovers = np.setdiff1d(np.arange(n_table, dtype=np.int64), a_sorted[first])
+    holes = np.nonzero(~first)[0]
+    fill = np.zeros(len(holes), dtype=np.int64)
+    fill[: len(leftovers)] = leftovers
+    s_sorted[holes] = fill
     return a_sorted, s_sorted
 
 
@@ -114,12 +109,17 @@ class _Evaluator:
 
 
 def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b"") -> bytes:
-    _t0 = time.monotonic()
-    _trace = os.environ.get("PAILLIER_TPU_TRACE")
+    from ..utils.trace import PhaseTimer, profile_section
 
-    def _mark(label):
-        if _trace:
-            print(f"[prover] {label}: {time.monotonic() - _t0:.2f}s", flush=True)
+    _timer = PhaseTimer("prover")
+    _mark = _timer.mark
+    with profile_section("create_proof"):
+        return _create_proof_inner(pk, table, blinding_seed, _mark)
+
+
+def _create_proof_inner(
+    pk: ProvingKey, table: VirtualTable, blinding_seed: bytes, _mark
+) -> bytes:
 
     vk = pk.vk
     k, n, usable = vk.k, vk.n, vk.usable

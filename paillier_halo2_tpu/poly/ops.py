@@ -8,6 +8,7 @@ digits-first layout.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,42 @@ from .ntt import ntt
 
 SPEC = f.FR
 P = host.FR_MOD
+
+# -- optional distributed execution -------------------------------------------
+# When a mesh is active (plonk.distributed.proving_mesh), the NTT-shaped entry
+# points below route through the four-step distributed NTT (all-to-all over the
+# mesh) whenever the size supports it (d^2 | n); everything else stays local
+# SPMD and lets XLA partition elementwise work.
+
+_ACTIVE_MESH = None
+
+
+class proving_mesh:
+    """Context manager activating distributed NTT/MSM routing for the prover
+    (SURVEY.md section 2.3). Usage: `with ops.proving_mesh(mesh): ...`."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._prev = _ACTIVE_MESH
+        _ACTIVE_MESH = self.mesh
+        return self.mesh
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._prev
+        return False
+
+
+def _mesh_for(n: int):
+    """The active mesh, if the transform size can ride the four-step NTT."""
+    m = _ACTIVE_MESH
+    if m is None:
+        return None
+    d = m.devices.size
+    return m if d > 1 and n % (d * d) == 0 else None
 
 
 # -- fast packing ------------------------------------------------------------
@@ -54,13 +91,56 @@ def from_device_mont(arr) -> list[int]:
 # -- coefficient <-> evaluation ----------------------------------------------
 
 
+def _use_native_ntt(x) -> bool:
+    """On the CPU platform (tests, virtual meshes) the digit-vector NTT runs
+    through unfused XLA thunks at ~1000x the cost of the native C++ path, so
+    concrete-array transforms route to native/bn254.cpp. Tracers (calls from
+    inside jit/shard_map) and real accelerators stay on the JAX path.
+    PAILLIER_TPU_NTT_BACKEND=device|native overrides."""
+    mode = os.environ.get("PAILLIER_TPU_NTT_BACKEND", "auto")
+    if mode == "device":
+        return False
+    if isinstance(x, jax.core.Tracer):
+        return False
+    from ..native import lib
+
+    if lib() is None:
+        return False
+    return mode == "native" or jax.devices()[0].platform == "cpu"
+
+
+def _ntt_native(x, k: int, inverse: bool) -> jnp.ndarray:
+    n = 1 << k
+    arr = np.asarray(x)  # (N_DIGITS, *batch, n) uint32, 8-bit digits
+    batch = arr.shape[1:-1]
+    rows = np.ascontiguousarray(
+        np.moveaxis(arr.reshape(N_DIGITS, -1, n), 0, -1).astype(np.uint8)
+    )  # (B, n, 32)
+    from .. import native
+
+    native.fr_ntt(rows, k, inverse)
+    out = np.moveaxis(rows.astype(np.uint32), -1, 0).reshape(N_DIGITS, *batch, n)
+    return jnp.asarray(out)
+
+
+def _ntt_any(x: jnp.ndarray, k: int, inverse: bool) -> jnp.ndarray:
+    mesh = _mesh_for(1 << k)
+    if mesh is not None:
+        from ..mesh.ntt import ntt_natural  # local import: mesh imports ops
+
+        return ntt_natural(mesh, x, k, inverse)
+    if _use_native_ntt(x):
+        return _ntt_native(x, k, inverse)
+    return ntt(x, k, inverse)
+
+
 def coeffs_of(values: jnp.ndarray, k: int) -> jnp.ndarray:
     """Evaluations over H (natural order) -> coefficients."""
-    return ntt(values, k, inverse=True)
+    return _ntt_any(values, k, inverse=True)
 
 
 def values_of(coeffs: jnp.ndarray, k: int) -> jnp.ndarray:
-    return ntt(coeffs, k)
+    return _ntt_any(coeffs, k, inverse=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -84,7 +164,7 @@ def extended_coset_evals(coeffs: jnp.ndarray, k: int, k_ext: int) -> jnp.ndarray
     scaled = f.mont_mul(SPEC, coeffs, scale)
     padded = jnp.zeros((N_DIGITS, *batch, 1 << k_ext), jnp.uint32)
     padded = padded.at[..., : 1 << k].set(scaled)
-    return ntt(padded, k_ext)
+    return _ntt_any(padded, k_ext, inverse=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -102,7 +182,7 @@ def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndar
     """Inverse of extended_coset_evals: coset evals -> coefficients (len 2^k_ext)."""
     batch = evals_ext.shape[1:-1]
     ones = (1,) * len(batch)
-    coeffs = ntt(evals_ext, k_ext, inverse=True)
+    coeffs = _ntt_any(evals_ext, k_ext, inverse=True)
     scale = jnp.asarray(_coset_unscale_digits(k_ext)).reshape(N_DIGITS, *ones, 1 << k_ext)
     return f.mont_mul(SPEC, coeffs, scale)
 

@@ -16,6 +16,9 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    if os.environ.get("PAILLIER_TPU_NO_CACHE"):
+        jax.config.update("jax_enable_compilation_cache", False)
+        return
     path = os.path.abspath(cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

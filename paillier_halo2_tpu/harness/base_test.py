@@ -16,29 +16,9 @@ import time
 from ..gadgets.context import Context, VirtualTable
 from ..gadgets.range import RangeChip
 from ..mock.prover import MockResult, mock_prove_host, mock_prove_jax
+from ..plonk.params import BLINDING_ROWS, ConfigParams  # re-export (moved to leaf module)
 
-# Rows reserved at the bottom of each column for blinding factors (halo2
-# convention; exact count fixed by the proving system's degree bound).
-BLINDING_ROWS = 10
-
-
-@dataclasses.dataclass
-class ConfigParams:
-    """Auto-sized column configuration — analog of the `config_params` the
-    reference harness prints (/root/reference/src/bench.rs:173)."""
-
-    k: int
-    lookup_bits: int
-    num_advice: int
-    num_lookup_advice: int
-    num_fixed: int = 1
-
-    @classmethod
-    def size_for(cls, table: VirtualTable, k: int, lookup_bits: int) -> "ConfigParams":
-        usable = (1 << k) - BLINDING_ROWS
-        num_advice = max(1, -(-table.n_rows // usable))
-        num_lookup_advice = max(1, -(-len(table.lookups) // usable)) if len(table.lookups) else 0
-        return cls(k, lookup_bits, num_advice, num_lookup_advice)
+__all__ = ["BLINDING_ROWS", "BaseTester", "ConfigParams", "RunResult", "base_test"]
 
 
 @dataclasses.dataclass

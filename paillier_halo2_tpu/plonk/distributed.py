@@ -32,7 +32,7 @@ def keygen_sharded(mesh, table: VirtualTable, k: int, lookup_bits: int, srs: SRS
 
 
 def create_proof_sharded(
-    mesh, pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b""
+    mesh, pk: ProvingKey, table: VirtualTable, blinding_seed: bytes | None = None
 ) -> bytes:
     with ops.proving_mesh(mesh):
         return create_proof(pk, table, blinding_seed)

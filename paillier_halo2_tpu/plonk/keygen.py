@@ -17,7 +17,7 @@ import numpy as np
 from ..ec import host as ech
 from ..ff import host
 from ..gadgets.context import VirtualTable
-from ..harness.base_test import BLINDING_ROWS
+from .params import BLINDING_ROWS
 from ..poly import ops
 from .kzg import commit_many
 from .layout import CircuitLayout, assign_layout

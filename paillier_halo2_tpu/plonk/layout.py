@@ -25,7 +25,7 @@ import dataclasses
 import numpy as np
 
 from ..gadgets.context import VirtualTable
-from ..harness.base_test import BLINDING_ROWS, ConfigParams
+from .params import BLINDING_ROWS, ConfigParams
 
 
 @dataclasses.dataclass

@@ -32,7 +32,7 @@ from ..ec import host as ech
 from ..ff import field_jax as f
 from ..ff import host
 from ..gadgets.context import VirtualTable
-from ..harness.base_test import BLINDING_ROWS
+from .params import BLINDING_ROWS
 from ..poly import ops
 from .keygen import EXTENDED_RATE_BITS, ProvingKey
 from .kzg import commit, commit_many
@@ -108,9 +108,16 @@ class _Evaluator:
         return ops.from_device_mont(ops._sum_reduce(f.mont_mul(SPEC, stacked, pw)))
 
 
-def create_proof(pk: ProvingKey, table: VirtualTable, blinding_seed: bytes = b"") -> bytes:
+def create_proof(
+    pk: ProvingKey, table: VirtualTable, blinding_seed: bytes | None = None
+) -> bytes:
+    """blinding_seed=None (the default) draws fresh randomness (os.urandom) so
+    proofs are actually zero-knowledge; pass an explicit seed only for
+    determinism tests / fixtures."""
     from ..utils.trace import PhaseTimer, profile_section
 
+    if blinding_seed is None:
+        blinding_seed = os.urandom(32)
     _timer = PhaseTimer("prover")
     _mark = _timer.mark
     with profile_section("create_proof"):
@@ -390,6 +397,12 @@ def _create_proof_inner(
             f"{n_pieces}n {'** DEGREE OVERFLOW **' if n_bad else '(ok)'}",
             flush=True,
         )
+        if n_bad:
+            raise AssertionError(
+                f"quotient degree overflow: {n_bad} nonzero t(X) coefficients "
+                f"past {n_pieces}*n — a constraint exceeds the assumed degree "
+                f"bound (soundness bug); raise n_pieces"
+            )
     t_pieces = [t_coeffs[:, i * n : (i + 1) * n] for i in range(n_pieces)]
     for pt in commit_many(pk.srs, t_pieces):
         tr.write_point(pt)
@@ -471,6 +484,7 @@ def _create_proof_inner(
                 f"division identity: {lhs == rhs}",
                 flush=True,
             )
+            assert fz == v_fold and lhs == rhs, f"multiopen selfcheck failed @{key}"
         w_list.append(ops.synthetic_divide(acc_c, ops.fr_digits_mont(points[key])))
     for pt in commit_many(pk.srs, w_list):
         tr.write_point(pt)

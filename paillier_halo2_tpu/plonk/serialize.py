@@ -15,7 +15,7 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from ..harness.base_test import ConfigParams
+from .params import ConfigParams
 from ..poly import ops
 from .keygen import ProvingKey, VerifyingKey
 from .layout import CircuitLayout

@@ -9,17 +9,21 @@ Note: this environment pre-imports jax in sitecustomize with the remote
 overridden through jax.config before any backend initializes. The remote TPU
 has high per-dispatch latency (it is a tunnel), so unit tests run on local
 CPU; only benches target the real chip.
+
+Round-1 -> round-2 robustness changes (VERDICT item 4):
+- the persistent compilation cache is OFF by default for tests (its write
+  path segfaulted XLA:CPU in the driver sandbox); opt back in with
+  PAILLIER_TPU_CACHE=1.
+- the blanket --xla_disable_hlo_passes=fusion is gone: disabling fusion made
+  LLVM blow up (OOM/segfault) compiling the big prover graphs, which is worse
+  than the fusion slowdown it avoided. Heavy point-op tests shrink their
+  geometry instead.
 """
 import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# This XLA CPU build's fusion pass duplicates expensive producers into every
-# consumer: big fused field-arithmetic graphs run ~40x slower than unfused
-# (measured on the Jacobian point-double). Disable fusion for CPU tests.
-if "xla_disable_hlo_passes" not in flags:
-    flags = (flags + " --xla_disable_hlo_passes=fusion").strip()
 # 8 virtual device threads time-share ~4 cores: a device can sit in a
 # collective rendezvous for minutes while the others' long per-shard programs
 # (e.g. the MSM bucket loop) finish. XLA:CPU hard-aborts such rendezvous after
@@ -36,8 +40,11 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still open)
 
 jax.config.update("jax_platforms", "cpu")
 
-from paillier_halo2_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+if os.environ.get("PAILLIER_TPU_CACHE"):
+    from paillier_halo2_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache()
+    setup_compilation_cache()
+else:
+    jax.config.update("jax_enable_compilation_cache", False)
 
 os.environ.setdefault("PAILLIER_TPU_MSM_WINDOW", "4")

@@ -88,12 +88,12 @@ def _roundtrip_sharded_vs_single(table, lk, K):
     mesh = make_mesh(8)
 
     pk_s = keygen_sharded(mesh, table, K, lk, srs)
-    proof_s = create_proof_sharded(mesh, pk_s, table)
+    proof_s = create_proof_sharded(mesh, pk_s, table, blinding_seed=b"dist-test")
     assert verify_proof(pk_s.vk, srs, proof_s)
 
     pk = keygen(table, K, lk, srs)
     assert pk.vk.fixed_commitments() == pk_s.vk.fixed_commitments()
-    proof = create_proof(pk, table)
+    proof = create_proof(pk, table, blinding_seed=b"dist-test")
     assert proof == proof_s, "distribution changed the transcript"
 
 

@@ -70,6 +70,51 @@ def test_proof_deterministic(proof_setup):
     assert proof == proof2
 
 
+def test_default_blinding_is_random(proof_setup):
+    """blinding_seed=None (default) must draw fresh randomness: two proofs of
+    the same statement differ byte-wise but both verify (VERDICT round-1
+    item 9 — zero-knowledge requires non-derivable blinders)."""
+    srs, pk, _, table = proof_setup
+    p1 = create_proof(pk, table)
+    p2 = create_proof(pk, table)
+    assert p1 != p2
+    assert verify_proof(pk.vk, srs, p1) and verify_proof(pk.vk, srs, p2)
+
+
+def test_quotient_degree_selfcheck(proof_setup, monkeypatch):
+    """The t(X) coefficient tail past n_pieces*n must be identically zero —
+    a degree overflow is a silent soundness bug (VERDICT round-1 item 10).
+    PAILLIER_TPU_SELFCHECK makes the prover raise on overflow; also checks
+    the GWC fold/division identities."""
+    srs, pk, _, table = proof_setup
+    monkeypatch.setenv("PAILLIER_TPU_SELFCHECK", "1")
+    proof = create_proof(pk, table, blinding_seed=b"degree-check")
+    assert verify_proof(pk.vk, srs, proof)
+
+
+def test_quotient_degree_selfcheck_multicolumn(monkeypatch):
+    """Same selfcheck on a circuit wide enough to span several advice columns
+    (multi-column gate emission + permutation chunk chains)."""
+    rng = random.Random(31337)
+    ctx = Context()
+    rc = RangeChip(ctx, LOOKUP_BITS)
+    for _ in range(3):
+        n = rng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+        g, c1, c2 = (rng.getrandbits(ENC) for _ in range(3))
+        _add_circuit(ctx, rc, (n, g, c1, c2, paillier_add_native(n, c1, c2)))
+    table = ctx.finalize()
+    k = 9  # force n_rows / usable > 1 -> multiple advice columns
+    from paillier_halo2_tpu.plonk.params import ConfigParams
+
+    cfg = ConfigParams.size_for(table, k, LOOKUP_BITS)
+    assert cfg.num_advice >= 2, "geometry no longer multi-column; shrink k"
+    srs = generate_srs(k, seed=b"plonk-test-mc")
+    pk = keygen(table, k, LOOKUP_BITS, srs)
+    monkeypatch.setenv("PAILLIER_TPU_SELFCHECK", "1")
+    proof = create_proof(pk, table, blinding_seed=b"degree-check-mc")
+    assert verify_proof(pk.vk, srs, proof)
+
+
 def test_tampered_proof_rejected(proof_setup):
     srs, pk, proof, _ = proof_setup
     for pos in [0, len(proof) // 2, len(proof) - 1]:

@@ -22,15 +22,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ff.field_jax import FieldSpec, _conv_const_matrix, _conv_gather_matrix
+from ..ff.field_jax import FieldSpec
 from ..ff.limbs import DIGIT_BITS, DIGIT_MASK, N_DIGITS
-from ..ff.pallas_mulmod import (
-    _carry_normalize,
-    _mont_mul_body,
-    _sub_digits,
-)
+from ..ff.pallas_mulmod import MulPlan, _carry_normalize, _sub_digits, get_plan
 
-BLOCK = 256
+BLOCK = 512  # measured best on v5e for the conv mul body (268 vs 354 ns/lane)
 
 # Dense 256-bit packing: 8 uint32 words per coordinate (word k holds digits
 # 4k..4k+3 little-endian). The MSM bucket loop gathers points in this form —
@@ -66,7 +62,7 @@ def _sel(mask, a, b):
     return jnp.where(mask, a, b)
 
 
-def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one,
+def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, plan, consts, pvec, one,
                     with_double: bool = True):
     """Jacobian (X1,Y1,Z1) + affine (X2,Y2) with all edge cases; q_inf is a
     (1, BLOCK) mask. Mirrors ec/bn254.py padd_mixed.
@@ -76,7 +72,7 @@ def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one,
     accumulator (distinct-base bucket accumulation). In that variant a true
     doubling or annihilation input degrades to Z3 == 0 (the infinity
     encoding) instead of a wrong finite point."""
-    mm = lambda x, y: _mont_mul_body(x, y, tmat, mumat, pmat, pvec)
+    mm = lambda x, y: plan.body(x, y, *consts)
     add = lambda x, y: _field_add(x, y, pvec)
     sub = lambda x, y: _field_sub(x, y, pvec)
 
@@ -138,12 +134,12 @@ def _mixed_add_full(X1, Y1, Z1, X2, Y2, q_inf, tmat, mumat, pmat, pvec, one,
     return X3, Y3, Z3
 
 
-def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one,
+def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, plan, consts, pvec, one,
                        with_double: bool = True):
     """General Jacobian + Jacobian with all edge cases; mirrors
     ec/bn254.py padd (16 generic + 7 doubling Montgomery products).
     with_double=False: see _mixed_add_full."""
-    mm = lambda x, y: _mont_mul_body(x, y, tmat, mumat, pmat, pvec)
+    mm = lambda x, y: plan.body(x, y, *consts)
     add = lambda x, y: _field_add(x, y, pvec)
     sub = lambda x, y: _field_sub(x, y, pvec)
 
@@ -206,11 +202,23 @@ def _jacobian_add_full(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one,
     return X3, Y3, Z3
 
 
-def _jadd_kernel(x1, y1, z1, x2, y2, z2, tmat, mumat, pmat, pvec, one, ox, oy, oz,
-                 *, with_double=True):
+def _shared_consts(spec: FieldSpec, nd: int):
+    """(plan, plan const values, pvec, one, plan const specs, vec spec)."""
+    plan = get_plan(spec.p)
+    pvec = jnp.broadcast_to(jnp.asarray(spec.p_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    one_digits = [(spec.r_mod_p >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(nd)]
+    one = jnp.broadcast_to(jnp.asarray(one_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    vec_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return plan, plan.const_values(), pvec, one, plan.const_specs() + [vec_spec, vec_spec]
+
+
+def _jadd_kernel(plan, n_consts, *refs, with_double=True):
+    x1, y1, z1, x2, y2, z2 = refs[:6]
+    consts = tuple(r[:] for r in refs[6 : 6 + n_consts])
+    pvec, one, ox, oy, oz = refs[6 + n_consts :]
     X3, Y3, Z3 = _jacobian_add_full(
         x1[:], y1[:], z1[:], x2[:], y2[:], z2[:],
-        tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        plan, consts, pvec[:], one[:],
         with_double=with_double,
     )
     ox[:] = X3
@@ -225,37 +233,27 @@ def padd_pallas(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False
     nd = spec.n_digits
     n = X1.shape[1]
     assert n % BLOCK == 0, f"pad batch to a multiple of {BLOCK}"
-    tmat = jnp.asarray(_conv_gather_matrix(nd, nd, 2 * nd - 1))
-    mumat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.mu_digits), nd, nd))
-    pmat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.p_digits), nd, 2 * nd - 1))
-    pvec = jnp.broadcast_to(jnp.asarray(spec.p_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
-    one_digits = [(spec.r_mod_p >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(nd)]
-    one = jnp.broadcast_to(jnp.asarray(one_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    plan, cvals, pvec, one, tail_specs = _shared_consts(spec, nd)
 
     data_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    const_specs = [
-        pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(mumat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(pmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
     out = pl.pallas_call(
-        functools.partial(_jadd_kernel, with_double=not nodouble),
+        functools.partial(_jadd_kernel, plan, len(cvals), with_double=not nodouble),
         grid=(n // BLOCK,),
-        in_specs=[data_spec] * 6 + const_specs,
+        in_specs=[data_spec] * 6 + tail_specs,
         out_specs=[data_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((nd, n), jnp.uint32)] * 3,
         interpret=interpret,
-    )(X1, Y1, Z1, X2, Y2, Z2, tmat, mumat, pmat, pvec, one)
+    )(X1, Y1, Z1, X2, Y2, Z2, *cvals, pvec, one)
     return tuple(out)
 
 
-def _kernel(x1, y1, z1, x2, y2, qinf, tmat, mumat, pmat, pvec, one, ox, oy, oz,
-            *, with_double=True):
+def _kernel(plan, n_consts, *refs, with_double=True):
+    x1, y1, z1, x2, y2, qinf = refs[:6]
+    consts = tuple(r[:] for r in refs[6 : 6 + n_consts])
+    pvec, one, ox, oy, oz = refs[6 + n_consts :]
     X3, Y3, Z3 = _mixed_add_full(
         x1[:], y1[:], z1[:], x2[:], y2[:], qinf[:] != 0,
-        tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        plan, consts, pvec[:], one[:],
         with_double=with_double,
     )
     ox[:] = X3
@@ -274,42 +272,32 @@ def padd_mixed_pallas(
     n = X1.shape[1]
     assert X1.shape == Y1.shape == Z1.shape == X2.shape == Y2.shape == (nd, n)
     assert n % BLOCK == 0, f"pad batch to a multiple of {BLOCK}"
-    tmat = jnp.asarray(_conv_gather_matrix(nd, nd, 2 * nd - 1))
-    mumat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.mu_digits), nd, nd))
-    pmat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.p_digits), nd, 2 * nd - 1))
-    pvec = jnp.broadcast_to(jnp.asarray(spec.p_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
-    one_digits = [(spec.r_mod_p >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(nd)]
-    one = jnp.broadcast_to(jnp.asarray(one_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    plan, cvals, pvec, one, tail_specs = _shared_consts(spec, nd)
     qi = q_inf.astype(jnp.uint32).reshape(1, n)
 
     data_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    const_specs = [
-        pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(mumat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(pmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
     out = pl.pallas_call(
-        functools.partial(_kernel, with_double=not nodouble),
+        functools.partial(_kernel, plan, len(cvals), with_double=not nodouble),
         grid=(n // BLOCK,),
         in_specs=[data_spec] * 5
         + [pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)]
-        + const_specs,
+        + tail_specs,
         out_specs=[data_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((nd, n), jnp.uint32)] * 3,
         interpret=interpret,
-    )(X1, Y1, Z1, X2, Y2, qi, tmat, mumat, pmat, pvec, one)
+    )(X1, Y1, Z1, X2, Y2, qi, *cvals, pvec, one)
     return tuple(out)
 
 
-def _packed_kernel(x1, y1, z1, pk, qinf, tmat, mumat, pmat, pvec, one, ox, oy, oz,
-                   *, with_double=True, rows=False):
+def _packed_kernel(plan, n_consts, *refs, with_double=True, rows=False):
+    x1, y1, z1, pk, qinf = refs[:5]
+    consts = tuple(r[:] for r in refs[5 : 5 + n_consts])
+    pvec, one, ox, oy, oz = refs[5 + n_consts :]
     w = pk[:].T if rows else pk[:]  # rows=True: operand arrives (BLOCK, 16)
     X3, Y3, Z3 = _mixed_add_full(
         x1[:], y1[:], z1[:],
         _unpack_words(w[:8]), _unpack_words(w[8:]), qinf[:] != 0,
-        tmat[:], mumat[:], pmat[:], pvec[:], one[:],
+        plan, consts, pvec[:], one[:],
         with_double=with_double,
     )
     ox[:] = X3
@@ -332,34 +320,22 @@ def padd_mixed_packed_pallas(
     assert X1.shape == Y1.shape == Z1.shape == (nd, n)
     assert packed.shape == (n, PACK_WORDS)
     assert n % BLOCK == 0, f"pad batch to a multiple of {BLOCK}"
-    tmat = jnp.asarray(_conv_gather_matrix(nd, nd, 2 * nd - 1))
-    mumat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.mu_digits), nd, nd))
-    pmat = jnp.asarray(_conv_const_matrix(tuple(int(x) for x in spec.p_digits), nd, 2 * nd - 1))
-    pvec = jnp.broadcast_to(jnp.asarray(spec.p_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
-    one_digits = [(spec.r_mod_p >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(nd)]
-    one = jnp.broadcast_to(jnp.asarray(one_digits, jnp.uint32).reshape(nd, 1), (nd, BLOCK))
+    plan, cvals, pvec, one, tail_specs = _shared_consts(spec, nd)
     if q_inf is None:
         qi = jnp.zeros((1, n), jnp.uint32)
     else:
         qi = q_inf.astype(jnp.uint32).reshape(1, n)
 
     data_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
-    const_specs = [
-        pl.BlockSpec(tmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(mumat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(pmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nd, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
     out = pl.pallas_call(
-        functools.partial(_packed_kernel, with_double=not nodouble, rows=True),
+        functools.partial(_packed_kernel, plan, len(cvals), with_double=not nodouble, rows=True),
         grid=(n // BLOCK,),
         in_specs=[data_spec] * 3
         + [pl.BlockSpec((BLOCK, PACK_WORDS), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)]
-        + const_specs,
+        + tail_specs,
         out_specs=[data_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((nd, n), jnp.uint32)] * 3,
         interpret=interpret,
-    )(X1, Y1, Z1, packed, qi, tmat, mumat, pmat, pvec, one)
+    )(X1, Y1, Z1, packed, qi, *cvals, pvec, one)
     return tuple(out)

@@ -475,7 +475,7 @@ def _create_proof_inner(
             v_fold = 0
             for e in all_evals[key]:
                 v_fold = (v_fold * nu + e) % P
-            w_q = ops.synthetic_divide(acc_c, ops.fr_digits_mont(z))
+            w_q = ops.synthetic_divide(acc_c, z)
             xi = 0x1234567 % P
             lhs = (ev.eval(acc_c, xi) - fz) * pow(xi - z, P - 2, P) % P
             rhs = ev.eval(w_q, xi)
@@ -485,7 +485,7 @@ def _create_proof_inner(
                 flush=True,
             )
             assert fz == v_fold and lhs == rhs, f"multiopen selfcheck failed @{key}"
-        w_list.append(ops.synthetic_divide(acc_c, ops.fr_digits_mont(points[key])))
+        w_list.append(ops.synthetic_divide(acc_c, points[key]))
     for pt in commit_many(pk.srs, w_list):
         tr.write_point(pt)
 

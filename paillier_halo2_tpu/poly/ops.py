@@ -63,12 +63,41 @@ def _mesh_for(n: int):
 # -- fast packing ------------------------------------------------------------
 
 
+_PACK_PARALLEL_MIN = 1 << 19
+_pack_src: np.ndarray | None = None  # fork-inherited by _pack_shard workers
+
+
+def _pack_shard(bounds):
+    lo, hi = bounds
+    return b"".join(int(v).to_bytes(32, "little") for v in _pack_src[lo:hi])
+
+
 def pack_values(vals) -> np.ndarray:
     """Object-int array/list of any shape S -> (N_DIGITS, *S) uint32 digits
-    (standard form, row-major batch order)."""
+    (standard form, row-major batch order). Large inputs shard the
+    int->bytes conversion across forked worker processes, which see the
+    source array via fork copy-on-write (no pickling of the ints); the
+    witness-pack phase of big batched circuits runs ~0.7 M vals/s
+    single-core otherwise."""
+    global _pack_src
     arr = np.asarray(vals, dtype=object)
     flat = arr.reshape(-1)
-    buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
+    n = len(flat)
+    if n >= _PACK_PARALLEL_MIN and os.cpu_count() and os.cpu_count() > 1:
+        import multiprocessing as mp
+
+        w = min(os.cpu_count(), 8)
+        _pack_src = flat
+        try:
+            with mp.get_context("fork").Pool(w) as pool:
+                parts = pool.map(
+                    _pack_shard, [(n * i // w, n * (i + 1) // w) for i in range(w)]
+                )
+        finally:
+            _pack_src = None
+        buf = b"".join(parts)
+    else:
+        buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
     dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T.astype(np.uint32)
     return dig.reshape((N_DIGITS,) + arr.shape)
 
@@ -268,31 +297,36 @@ def batch_inverse(arr: jnp.ndarray) -> jnp.ndarray:
     return mul(mul(pre_shift, suf_shift), total_inv)
 
 
-@functools.partial(jax.jit, static_argnums=())
-def synthetic_divide(coeffs: jnp.ndarray, z_digits: jnp.ndarray) -> jnp.ndarray:
+def synthetic_divide(coeffs: jnp.ndarray, z: int) -> jnp.ndarray:
     """(f(X) - f(z)) / (X - z) given coefficient form; returns quotient coeffs
-    (same length, top coefficient zero). q_i = c_{i+1} + z*q_{i+1}: a suffix
-    linear recurrence, evaluated as a log-depth scan over affine maps
-    (m, a) -> y = a + m*y composed right-to-left."""
+    (same length, top coefficient zero).
+
+    q_i = sum_{j>i} c_j z^{j-i-1} = z^{-(i+1)} * S_i with S_i = suffix sum of
+    d_j = c_j z^j — so the scan combine is a plain modular ADD (tiny XLA
+    graph; the earlier affine-map scan with mont_mul combines produced a
+    graph big enough to crash XLA:CPU's LLVM backend) and the mont_muls
+    happen in two batched elementwise passes against host-precomputed power
+    vectors. z is the host-side opening point (a transcript challenge)."""
     n = coeffs.shape[1]
-    z = jnp.broadcast_to(z_digits.reshape(N_DIGITS, 1), (N_DIGITS, n))
-    # elements i = 0..n-1 represent maps f_i(y) = c_{i+1} + z*y (c_n := 0)
-    shifted = jnp.concatenate([coeffs[:, 1:], jnp.zeros((N_DIGITS, 1), jnp.uint32)], axis=1)
-
-    def combine(left, right):
-        # associative_scan(reverse=True) flips the array, scans, and flips
-        # back, so its ordered product places HIGH indices on the left:
-        # result[i] = x_{n-1} op ... op x_i. We need the mirror product
-        # F_i o ... o F_{n-1}, so compose operands swapped:
-        # (x op' y) := F_y o F_x, i.e. a = a_r + m_r * a_l. The swapped op
-        # is still associative, and the reverse scan then yields
-        # r_i = F_i o F_{i+1} o ... o F_{n-1}, with q_i = r_i(0).
-        ml, al = left
-        mr, ar = right
-        return f.mont_mul(SPEC, ml, mr), f.add(SPEC, ar, f.mont_mul(SPEC, mr, al))
-
-    _, q = jax.lax.associative_scan(combine, (z, shifted), axis=1, reverse=True)
-    return q
+    if z % P == 0:  # q_i = c_{i+1}: degenerate (never hit by real challenges)
+        return jnp.concatenate(
+            [coeffs[:, 1:], jnp.zeros((N_DIGITS, 1), jnp.uint32)], axis=1
+        )
+    zpow = np.empty(n, dtype=object)
+    zinvpow = np.empty(n, dtype=object)
+    zinv = pow(z, P - 2, P)
+    acc, iacc = f.FR.r_mod_p, zinv * f.FR.r_mod_p % P  # z^0*R, z^-1*R
+    for i in range(n):
+        zpow[i] = acc
+        zinvpow[i] = iacc
+        acc = acc * z % P
+        iacc = iacc * zinv % P
+    d = f.mont_mul(SPEC, coeffs, jnp.asarray(pack_values(zpow)))
+    incl = jax.lax.associative_scan(
+        lambda a, b: f.add(SPEC, a, b), d, axis=1, reverse=True
+    )
+    s = jnp.concatenate([incl[:, 1:], jnp.zeros((N_DIGITS, 1), jnp.uint32)], axis=1)
+    return f.mont_mul(SPEC, s, jnp.asarray(pack_values(zinvpow)))
 
 
 def fr_digits_mont(x: int) -> jnp.ndarray:

@@ -40,11 +40,32 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still open)
 
 jax.config.update("jax_platforms", "cpu")
 
-if os.environ.get("PAILLIER_TPU_CACHE"):
+# Persistent compile cache ON by default: XLA:CPU compiles of the prover
+# graphs dominate suite wall time; repeat runs start hot. (The round-1 "cache
+# segfault" was vm.max_map_count exhaustion — fixed below — not the cache.)
+if os.environ.get("PAILLIER_TPU_NO_CACHE"):
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
     from paillier_halo2_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 
     setup_compilation_cache()
-else:
-    jax.config.update("jax_enable_compilation_cache", False)
 
 os.environ.setdefault("PAILLIER_TPU_MSM_WINDOW", "4")
+
+# XLA:CPU's LLVM JIT maps ~3 VM regions per code section, dozens per compiled
+# executable; the prover path compiles hundreds of executables, and at the
+# kernel default vm.max_map_count=65530 mmap starts failing ("LLVM compilation
+# error: Cannot allocate memory") followed by a hard segfault. Two defenses:
+# raise the limit when we can (containers usually run tests as root), and
+# drop dead executables between test modules.
+from paillier_halo2_tpu.utils.sysfix import raise_map_count  # noqa: E402
+
+raise_map_count()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

@@ -110,9 +110,7 @@ def test_synthetic_divide_matches_host_recurrence():
     n = 16
     coeffs = [rng.randrange(P) for _ in range(n)]
     z = rng.randrange(P)
-    got = ops.from_device_mont(
-        ops.synthetic_divide(ops.to_device_mont(coeffs), ops.fr_digits_mont(z))
-    )
+    got = ops.from_device_mont(ops.synthetic_divide(ops.to_device_mont(coeffs), z))
     exp = [0] * n
     for i in range(n - 2, -1, -1):
         exp[i] = (coeffs[i + 1] + z * exp[i + 1]) % P

@@ -41,24 +41,25 @@ def main():
     LIMB = 64 if ENC % 64 == 0 else 88
     log(f"devices: {jax.devices()}; B={B} k={K} lookup={LK} enc={ENC}")
 
-    def synth(seed):
-        ctx = Context()
+    def synth_one(ctx, i, seed=1):
+        """One encryption instance in its own Context (witness-pool shard)."""
         rc = RangeChip(ctx, LK)
-        for i in range(B):
-            rng = random.Random(seed + i)
-            n = rng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
-            g, m, r = (rng.getrandbits(ENC) for _ in range(3))
-            inp = PaillierEncryptionInput(
-                enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=r,
-                res=paillier_enc_native(n, g, m, r),
-            )
-            paillier_enc_test(ctx, rc, inp)
-        return ctx.finalize()
+        rng = random.Random(seed + i)
+        n = rng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+        g, m, r = (rng.getrandbits(ENC) for _ in range(3))
+        inp = PaillierEncryptionInput(
+            enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=r,
+            res=paillier_enc_native(n, g, m, r),
+        )
+        paillier_enc_test(ctx, rc, inp)
+
+    from paillier_halo2_tpu.gadgets.context import SinglePhaseCoreManager
 
     t0 = time.monotonic()
-    table = synth(1)
+    table = SinglePhaseCoreManager.synth_parallel(synth_one, B)
     t_synth = time.monotonic() - t0
-    log(f"synthesized {table.n_rows} rows in {t_synth:.1f}s")
+    log(f"synthesized {table.n_rows} rows in {t_synth:.1f}s "
+        f"(witness pool, {min(os.cpu_count() or 1, B)} workers)")
 
     srs = read_or_create_srs(K)
     t0 = time.monotonic()

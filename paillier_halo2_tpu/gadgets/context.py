@@ -197,13 +197,67 @@ class VirtualTable:
         return len(self.values)
 
 
+def merge_tables(tables: Iterable[VirtualTable]) -> VirtualTable:
+    """Concatenate independently synthesized virtual tables into one circuit,
+    rebasing every row index by the preceding tables' row counts.
+
+    This is the assignment-time merge of a Context pool (halo2-base's
+    SinglePhaseCoreManager collects per-thread Contexts the same way,
+    /root/reference/src/bench.rs:3,38). Duplicate constants across
+    sub-tables collapse later in layout's fixed-column dedup, so the merged
+    circuit is equivalent to serial synthesis up to per-context cached cells
+    (e.g. each sub-context carries its own zero cell)."""
+    tables = list(tables)
+    base, offsets = 0, []
+    for t in tables:
+        offsets.append(base)
+        base += t.n_rows
+
+    def cat(field: str, dtype=None, rebase: bool = False):
+        chunks = []
+        for t, off in zip(tables, offsets):
+            arr = getattr(t, field)
+            chunks.append(arr + off if rebase and len(arr) else arr)
+        if not chunks:
+            return np.zeros(0, dtype=dtype or np.int64)
+        return np.concatenate(chunks)
+
+    return VirtualTable(
+        values=cat("values", object),
+        gates=cat("gates", rebase=True),
+        copy_a=cat("copy_a", rebase=True),
+        copy_b=cat("copy_b", rebase=True),
+        const_idx=cat("const_idx", rebase=True),
+        const_val=cat("const_val", object),
+        lookups=cat("lookups", rebase=True),
+    )
+
+
+_synth_fn = None  # fork-inherited by _synth_worker (closures need no pickling)
+
+
+def _synth_worker(idx):
+    ctx = Context()
+    _synth_fn(ctx, idx)
+    return ctx.finalize()
+
+
 class SinglePhaseCoreManager:
-    """API-parity alias for halo2-base's witness pool
-    (/root/reference/src/bench.rs:3,38: `pool.main()` hands the synthesis
-    closure its Context). The reference pools Contexts for rayon-threaded
-    witness generation; here synthesis is already vectorized block-appends
-    (see module docstring), so one Context serves — `main()` returns it,
-    matching the consumer pattern `paillier_enc_test(pool.main(), range, ...)`.
+    """Witness pool — the analog of halo2-base's multithreaded
+    SinglePhaseCoreManager (/root/reference/src/bench.rs:3,38: `pool.main()`
+    hands the synthesis closure its Context; the pool's Contexts are merged
+    at assignment time).
+
+    Two modes:
+    - `main()` returns the single Context (synthesis here is vectorized
+      block-appends, so one Context covers the reference's consumer pattern
+      `paillier_enc_test(pool.main(), range, ...)`);
+    - `synth_parallel(fn, n)` shards witness generation across worker
+      PROCESSES (Python ints do not parallelize under the GIL the way the
+      reference's rayon threads do): fn(ctx, i) synthesizes instance i into
+      its own Context in a forked worker, and the resulting tables merge via
+      `merge_tables`. Deterministic: the merge order is the instance order,
+      independent of worker scheduling.
     """
 
     def __init__(self) -> None:
@@ -214,3 +268,25 @@ class SinglePhaseCoreManager:
 
     def finalize(self) -> VirtualTable:
         return self._ctx.finalize()
+
+    @staticmethod
+    def synth_parallel(fn, n_instances: int, n_workers: int | None = None) -> VirtualTable:
+        """Run fn(ctx, i) for i in range(n_instances) across forked worker
+        processes; merge the per-instance tables in instance order. Workers
+        must not touch jax (pure host-int synthesis)."""
+        import multiprocessing as mp
+        import os
+
+        global _synth_fn
+        if n_workers is None:
+            n_workers = min(os.cpu_count() or 1, n_instances)
+        _synth_fn = fn
+        try:
+            if n_workers <= 1 or n_instances <= 1:
+                tables = [_synth_worker(i) for i in range(n_instances)]
+            else:
+                with mp.get_context("fork").Pool(n_workers) as pool:
+                    tables = pool.map(_synth_worker, range(n_instances))
+        finally:
+            _synth_fn = None
+        return merge_tables(tables)

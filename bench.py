@@ -3,13 +3,19 @@
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Primary metric: Pippenger MSM throughput per chip (the dominant prover
-kernel, SURVEY.md section 3.3 hot loops). Extras report the speed-of-light
-mulmod throughput (north-star per-chip metric) and, when the full pipeline
-is enabled, proof times on the reference bench geometry.
+Covers the three BASELINE.md metrics (the reference publishes no numbers —
+BASELINE.md; its bench tests only println! timings, /root/reference/src/
+bench.rs:173-178):
+- Pippenger MSM throughput per chip at 2^20 points (the dominant prover
+  kernel), VALIDATED against a host-oracle expected value cached in params/;
+- speed-of-light mulmod throughput (north-star per-chip metric) with a
+  %-of-ceiling figure (ceiling = measured HBM bandwidth / 384 B per lane);
+- proofs/sec on the reference bench geometry (ENC=128/LIMB=64, k=14,
+  lookup 13 — /root/reference/src/bench.rs:161-179), full keygen + KZG
+  prove + verify.
 
-The reference publishes no numbers (BASELINE.md): vs_baseline compares to
-the previous round's value when BENCH_r*.json exists, else 1.0.
+vs_baseline compares MSM points/s to the previous round's recorded value
+(scaled by size when the previous round measured 2^17).
 """
 import glob
 import json
@@ -26,7 +32,9 @@ def log(msg):
 
 def main():
     from paillier_halo2_tpu.utils.cache import setup_compilation_cache
+    from paillier_halo2_tpu.utils.sysfix import raise_map_count
 
+    raise_map_count()
     setup_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -38,6 +46,11 @@ def main():
     from paillier_halo2_tpu.ff.pallas_mulmod import mont_mul_pallas
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    extras = {}
+
+    # sync via a tiny d2h readback: over the axon tunnel block_until_ready
+    # can return before compute finishes, inflating throughput ~100x
+    sync = lambda x: np.asarray(x[0, :1])
 
     # ---- speed-of-light mulmod (Pallas on TPU, XLA elsewhere) -------------
     N = 1 << 20
@@ -53,9 +66,6 @@ def main():
             return mont_mul_pallas(f.FR, x, y)
         return f.mont_mul(f.FR, x, y)
 
-    # sync via a tiny d2h readback: over the axon tunnel block_until_ready
-    # can return before compute finishes, inflating throughput ~100x
-    sync = lambda x: np.asarray(x[0, :1])
     r = mm(a, b)
     sync(r)
     t0 = time.monotonic()
@@ -64,48 +74,137 @@ def main():
         r = mm(r, b)
     sync(r)
     mulmod_per_s = N * reps / (time.monotonic() - t0)
-    log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s")
+    # HBM-bound ceiling: 3 x (32 digits x 4 B) per lane at the measured
+    # device bandwidth (v5e spec 819 GB/s; the axon tunnel chip sustains
+    # ~159 GB/s on pure-copy measurements, see PROGRESS notes)
+    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "159"))
+    ceiling = hbm_gbps * 1e9 / 384.0
+    extras["mulmod_per_s"] = round(mulmod_per_s, 1)
+    extras["mulmod_pct_of_hbm_ceiling"] = round(100 * mulmod_per_s / ceiling, 1)
+    log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s "
+        f"({extras['mulmod_pct_of_hbm_ceiling']}% of HBM-bound ceiling)")
 
-    # ---- MSM throughput ----------------------------------------------------
+    # ---- MSM throughput at 2^20 (validated) -------------------------------
     from paillier_halo2_tpu.ec import host as ech
     from paillier_halo2_tpu.msm.pippenger import msm_packed
     from paillier_halo2_tpu.plonk.srs import read_or_create_srs
 
-    k_msm = int(os.environ.get("BENCH_MSM_LOG2", "17"))
+    k_msm = int(os.environ.get("BENCH_MSM_LOG2", "20"))
     n_pts = 1 << k_msm
-    # real distinct bases: the dev SRS powers-of-tau (generated on device,
-    # cached under params/) — the exact base set every commitment uses
     srs = read_or_create_srs(k_msm)
     px, py, pinf = srs.g1_px, srs.g1_py, srs.g1_inf
-    # uniform scalars mod r (four 64-bit draws per scalar): a skewed scalar
-    # distribution concentrates some window's buckets and inflates the
-    # bucket-loop round count — the bench must match the Fiat-Shamir regime
     hi = rng.integers(0, 2**63, (4, n_pts), dtype=np.int64)
     scalars = [
-        (int(a) | int(b) << 63 | int(c) << 126 | int(d) << 189) % ech.R
-        for a, b, c, d in zip(*hi)
+        (int(x) | int(y) << 63 | int(z) << 126 | int(w) << 189) % ech.R
+        for x, y, z, w in zip(*hi)
     ]
     sd = f.pack_ints(scalars)
-    px, py, pinf, sd = (jnp.asarray(x) for x in (px, py, pinf, sd))
-    np.asarray(px[0, :1])  # force h2d before timing
+    pxd, pyd, pinfd, sdd = (jnp.asarray(x) for x in (px, py, pinf, sd))
+    np.asarray(pxd[0, :1])  # force h2d before timing
     t0 = time.monotonic()
-    out = msm_packed(px, py, pinf, sd)
+    out = msm_packed(pxd, pyd, pinfd, sdd)
     t_first = time.monotonic() - t0
     t0 = time.monotonic()
-    out = msm_packed(px, py, pinf, sd)
+    out = msm_packed(pxd, pyd, pinfd, sdd)
     t_msm = time.monotonic() - t0
-    log(f"msm 2^{k_msm}: first={t_first:.1f}s warm={t_msm:.2f}s")
     msm_points_per_s = n_pts / t_msm
+    log(f"msm 2^{k_msm}: first={t_first:.1f}s warm={t_msm:.2f}s "
+        f"-> {msm_points_per_s/1e3:.1f} k pts/s")
 
-    # ---- vs_baseline: previous round's value ------------------------------
+    # validate against the host oracle (native C++ MSM), cached per (k, seed)
+    exp_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "params",
+        f"bench_msm_expected_{k_msm}.json",
+    )
+    expected = None
+    if os.path.exists(exp_path):
+        with open(exp_path) as fh:
+            ex, ey = json.load(fh)
+            expected = (int(ex, 16), int(ey, 16)) if ex else None
+    else:
+        log("computing host-oracle MSM expectation (one-time)...")
+        from paillier_halo2_tpu.ec import bn254
+
+        pts = bn254.unpack_affine(np.asarray(px), np.asarray(py), np.asarray(pinf))
+        t0 = time.monotonic()
+        expected = ech.g1_msm(pts, scalars)
+        log(f"host oracle took {time.monotonic()-t0:.1f}s")
+        os.makedirs(os.path.dirname(exp_path), exist_ok=True)
+        with open(exp_path, "w") as fh:
+            json.dump(
+                ["%x" % expected[0], "%x" % expected[1]] if expected else ["", ""], fh
+            )
+    msm_valid = out == expected
+    extras["msm_valid"] = bool(msm_valid)
+    extras["msm_warm_s"] = round(t_msm, 3)
+    if not msm_valid:
+        log(f"** MSM VALIDATION FAILED: got {out} want {expected}")
+
+    # ---- proofs/sec on the reference bench geometry -----------------------
+    # ENC=128/LIMB=64, k=14, lookup 13: /root/reference/src/bench.rs:161-179
+    if os.environ.get("BENCH_SKIP_PROOF") != "1":
+        import random
+
+        from paillier_halo2_tpu.bignum.host import paillier_enc_native
+        from paillier_halo2_tpu.gadgets.context import Context
+        from paillier_halo2_tpu.gadgets.range import RangeChip
+        from paillier_halo2_tpu.harness import PaillierEncryptionInput, paillier_enc_test
+        from paillier_halo2_tpu.plonk.keygen import keygen
+        from paillier_halo2_tpu.plonk.prover import create_proof
+        from paillier_halo2_tpu.plonk.verifier import verify_proof
+
+        K = int(os.environ.get("BENCH_PROOF_K", "14"))
+        LK, ENC, LIMB = K - 1, 128, 64
+        prng = random.Random(14)
+        n = prng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+        g, m, rr_ = (prng.getrandbits(ENC) for _ in range(3))
+        inp = PaillierEncryptionInput(
+            enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=rr_,
+            res=paillier_enc_native(n, g, m, rr_),
+        )
+        ctx = Context()
+        rc = RangeChip(ctx, LK)
+        paillier_enc_test(ctx, rc, inp)
+        table = ctx.finalize()
+        log(f"proof circuit: {table.n_rows} rows, k={K}")
+        srs_p = read_or_create_srs(K)
+        t0 = time.monotonic()
+        pk = keygen(table, K, LK, srs_p)
+        t_keygen = time.monotonic() - t0
+        t0 = time.monotonic()
+        proof = create_proof(pk, table)
+        t_cold = time.monotonic() - t0
+        t0 = time.monotonic()
+        proof = create_proof(pk, table)
+        t_proof = time.monotonic() - t0
+        t0 = time.monotonic()
+        ok = verify_proof(pk.vk, srs_p, proof)
+        t_verify = time.monotonic() - t0
+        extras.update(
+            proof_verified=bool(ok),
+            keygen_s=round(t_keygen, 2),
+            proof_cold_s=round(t_cold, 2),
+            proof_s=round(t_proof, 2),
+            verify_s=round(t_verify, 3),
+            proof_bytes=len(proof),
+            proofs_per_sec=round(1.0 / t_proof, 4),
+            proof_k=K,
+            proof_enc_bits=ENC,
+        )
+        log(f"k={K} enc128 proof: keygen={t_keygen:.1f}s cold={t_cold:.1f}s "
+            f"warm={t_proof:.1f}s verify={t_verify:.2f}s ok={ok} "
+            f"-> {1.0/t_proof:.4f} proofs/s")
+
+    # ---- vs_baseline: previous round's MSM value --------------------------
     vs = 1.0
     prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
     if prev:
         try:
             with open(prev[-1]) as fh:
                 last = json.load(fh)
-            if last.get("unit") == "points/s/chip" and last.get("value"):
-                vs = msm_points_per_s / float(last["value"])
+            pv = last.get("parsed", last)
+            if pv.get("unit") == "points/s/chip" and pv.get("value"):
+                vs = msm_points_per_s / float(pv["value"])
         except Exception:
             pass
 
@@ -116,8 +215,7 @@ def main():
                 "value": round(msm_points_per_s, 1),
                 "unit": "points/s/chip",
                 "vs_baseline": round(vs, 3),
-                "mulmod_per_s": round(mulmod_per_s, 1),
-                "msm_warm_s": round(t_msm, 3),
+                **extras,
             }
         )
     )

@@ -123,9 +123,10 @@ def main():
             expected = (int(ex, 16), int(ey, 16)) if ex else None
     else:
         log("computing host-oracle MSM expectation (one-time)...")
-        from paillier_halo2_tpu.ec import bn254
-
-        pts = bn254.unpack_affine(np.asarray(px), np.asarray(py), np.asarray(pinf))
+        xs = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(px))))
+        ys = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(py))))
+        inf = np.asarray(pinf)
+        pts = [None if inf[i] else (xs[i], ys[i]) for i in range(n_pts)]
         t0 = time.monotonic()
         expected = ech.g1_msm(pts, scalars)
         log(f"host oracle took {time.monotonic()-t0:.1f}s")

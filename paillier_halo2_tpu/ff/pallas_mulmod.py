@@ -8,22 +8,24 @@ Strategy: one kernel per (32, BLOCK)-lane tile, entirely in VMEM:
 - exact carry propagation via an unrolled Kogge-Stone (no associative_scan —
   Mosaic-friendly manual log-depth shifts).
 
-MXU precision (the round-1 -> round-2 speedup): the MXU multiplies natively
-in bf16 (or int8 on v5+); an f32 matmul is emulated in 3-6 bf16 passes. All
-matmul operands here are bytes (products split lo/hi, matrices of digit
-constants), which are EXACT in bf16 (integers < 2^8) and, after centering by
--128, in int8 — so the dots run in ONE native pass with exact f32/int32
-accumulation (sums < 2^24 / 2^31). Three selectable impls:
+Round-2 speedups, driven by on-chip measurement (the VPU's elementwise
+throughput, not the MXU, is the wall — materializing and byte-splitting the
+(1024, B) outer product costs more than all three REDC dots):
 
-  int8 : operands centered to [-128,127], int32 accumulation, constant
-         `128 * rowsum` corrections folded in; byte matrices split into
-         nibble pairs (still one dot via M-stacking). 2x bf16 MXU rate.
-  bf16 : operands cast to bf16 (bytes are exact), f32 accumulation.
+  conv (default): no outer product at all — the schoolbook digit product is
+         32 shifted VPU FMAs in f32 (integers < 2^24, exact), and only the
+         small constant-operand REDC convolutions ride the MXU, against
+         byte planes of the UNNORMALIZED accumulators. Carries are cheap
+         base-256 folds + one small Kogge-Stone. ~8x less VMEM per tile.
+  int8 : byte-split product planes, operands centered to [-128,127], int32
+         accumulation, `128 * rowsum` corrections folded in; byte matrices
+         split into nibble pairs. 2x bf16 MXU rate.
+  bf16 : byte-split product planes cast to bf16 (bytes are exact), f32
+         accumulation.
   f32  : round-1 behavior (XLA-emulated exact f32 dots) — fallback.
 
-REDC is also restructured so only TWO carry-normalize chains remain (m and
-the final u): the unnormalized product t feeds the mu-stage as four byte
-planes consumed by shifted copies of the mu matrix (t' == t mod R, and any
+In every impl the mu-stage consumes the unnormalized product t as byte
+planes against shifted copies of the mu matrix (t' == t mod R, and any
 representative works there), instead of normalizing t first.
 """
 from __future__ import annotations

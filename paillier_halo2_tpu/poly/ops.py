@@ -83,18 +83,27 @@ def pack_values(vals) -> np.ndarray:
     arr = np.asarray(vals, dtype=object)
     flat = arr.reshape(-1)
     n = len(flat)
+    parts = None
     if n >= _PACK_PARALLEL_MIN and os.cpu_count() and os.cpu_count() > 1:
         import multiprocessing as mp
 
         w = min(os.cpu_count(), 8)
         _pack_src = flat
         try:
+            # fork after JAX initialization is officially unsupported (the
+            # children never touch jax, and this works on the target boxes,
+            # but a deadlocked child must not hang the prover): bounded wait,
+            # serial fallback.
             with mp.get_context("fork").Pool(w) as pool:
-                parts = pool.map(
+                async_res = pool.map_async(
                     _pack_shard, [(n * i // w, n * (i + 1) // w) for i in range(w)]
                 )
+                parts = async_res.get(timeout=60 + n // 100_000)
+        except mp.TimeoutError:
+            parts = None
         finally:
             _pack_src = None
+    if parts is not None:
         buf = b"".join(parts)
     else:
         buf = b"".join(int(v).to_bytes(32, "little") for v in flat)

@@ -7,27 +7,70 @@ Covers the three BASELINE.md metrics (the reference publishes no numbers —
 BASELINE.md; its bench tests only println! timings, /root/reference/src/
 bench.rs:173-178):
 - Pippenger MSM throughput per chip at 2^20 points (the dominant prover
-  kernel), VALIDATED against a host-oracle expected value cached in params/;
+  kernel), VALIDATED against a host-oracle expected value (fixture committed
+  in params_fixtures/ — bases and scalars are deterministic);
 - speed-of-light mulmod throughput (north-star per-chip metric) with a
   %-of-ceiling figure (ceiling = measured HBM bandwidth / 384 B per lane);
 - proofs/sec on the reference bench geometry (ENC=128/LIMB=64, k=14,
   lookup 13 — /root/reference/src/bench.rs:161-179), full keygen + KZG
   prove + verify.
 
+Robustness (the round-2 run died rc=124 with no JSON): every phase runs
+under a SIGALRM deadline carved out of one global budget (BENCH_BUDGET_S,
+default 1500 s); a phase that overruns is abandoned and recorded as
+"<phase>_timeout", and the JSON line prints no matter what.
+
 vs_baseline compares MSM points/s to the previous round's recorded value
 (scaled by size when the previous round measured 2^17).
 """
+import contextlib
 import glob
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.monotonic()-T_START:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def deadline(seconds: float, label: str):
+    """SIGALRM-based phase guard: raises PhaseTimeout in the main thread if
+    the phase overruns. The timer REPEATS every 15 s after first firing:
+    library code (e.g. jax's compilation-cache reader) can catch-and-warn an
+    exception raised mid-call — observed eating the first alarm — so keep
+    firing until one propagates. Margin of 30 s is always held back for the
+    final JSON print."""
+    seconds = min(seconds, remaining() - 30)
+    if seconds <= 0:
+        raise PhaseTimeout(f"{label}: no budget left")
+
+    def handler(signum, frame):
+        raise PhaseTimeout(label)
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.setitimer(signal.ITIMER_REAL, seconds, 15.0)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main():
@@ -47,178 +90,215 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     extras = {}
+    msm_points_per_s = 0.0
 
     # sync via a tiny d2h readback: over the axon tunnel block_until_ready
     # can return before compute finishes, inflating throughput ~100x
     sync = lambda x: np.asarray(x[0, :1])
 
     # ---- speed-of-light mulmod (Pallas on TPU, XLA elsewhere) -------------
-    N = 1 << 20
-    rng = np.random.default_rng(1)
-    a_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
-    b_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
-    a_np[31] &= 0x1F
-    b_np[31] &= 0x1F
-    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+    try:
+        with deadline(300, "mulmod"):
+            N = 1 << 20
+            rng = np.random.default_rng(1)
+            a_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
+            b_np = rng.integers(0, 255, (32, N)).astype(np.uint32)
+            a_np[31] &= 0x1F
+            b_np[31] &= 0x1F
+            a, b = jnp.asarray(a_np), jnp.asarray(b_np)
 
-    def mm(x, y):
-        if on_tpu:
-            return mont_mul_pallas(f.FR, x, y)
-        return f.mont_mul(f.FR, x, y)
+            def mm(x, y):
+                if on_tpu:
+                    return mont_mul_pallas(f.FR, x, y)
+                return f.mont_mul(f.FR, x, y)
 
-    r = mm(a, b)
-    sync(r)
-    t0 = time.monotonic()
-    reps = 10
-    for _ in range(reps):
-        r = mm(r, b)
-    sync(r)
-    mulmod_per_s = N * reps / (time.monotonic() - t0)
-    # HBM-bound ceiling: 3 x (32 digits x 4 B) per lane at the measured
-    # device bandwidth (v5e spec 819 GB/s; the axon tunnel chip sustains
-    # ~159 GB/s on pure-copy measurements, see PROGRESS notes)
-    hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "159"))
-    ceiling = hbm_gbps * 1e9 / 384.0
-    extras["mulmod_per_s"] = round(mulmod_per_s, 1)
-    extras["mulmod_pct_of_hbm_ceiling"] = round(100 * mulmod_per_s / ceiling, 1)
-    log(f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s "
-        f"({extras['mulmod_pct_of_hbm_ceiling']}% of HBM-bound ceiling)")
+            r = mm(a, b)
+            sync(r)
+            t0 = time.monotonic()
+            reps = 10
+            for _ in range(reps):
+                r = mm(r, b)
+            sync(r)
+            mulmod_per_s = N * reps / (time.monotonic() - t0)
+            # HBM-bound ceiling: 3 x (32 digits x 4 B) per lane at the measured
+            # device bandwidth (v5e spec 819 GB/s; the axon tunnel chip sustains
+            # ~159 GB/s on pure-copy measurements, see PROGRESS notes)
+            hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "159"))
+            ceiling = hbm_gbps * 1e9 / 384.0
+            extras["mulmod_per_s"] = round(mulmod_per_s, 1)
+            extras["mulmod_pct_of_hbm_ceiling"] = round(100 * mulmod_per_s / ceiling, 1)
+            log(
+                f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s "
+                f"({extras['mulmod_pct_of_hbm_ceiling']}% of HBM-bound ceiling)"
+            )
+    except PhaseTimeout as e:
+        log(f"** phase timed out: {e}")
+        extras["mulmod_timeout"] = True
 
     # ---- MSM throughput at 2^20 (validated) -------------------------------
-    from paillier_halo2_tpu.ec import host as ech
-    from paillier_halo2_tpu.msm.pippenger import msm_packed
-    from paillier_halo2_tpu.plonk.srs import read_or_create_srs
+    try:
+        with deadline(600, "msm"):
+            from paillier_halo2_tpu.ec import host as ech
+            from paillier_halo2_tpu.msm.pippenger import msm_packed
+            from paillier_halo2_tpu.plonk.srs import read_or_create_srs
 
-    k_msm = int(os.environ.get("BENCH_MSM_LOG2", "20"))
-    n_pts = 1 << k_msm
-    srs = read_or_create_srs(k_msm)
-    px, py, pinf = srs.g1_px, srs.g1_py, srs.g1_inf
-    hi = rng.integers(0, 2**63, (4, n_pts), dtype=np.int64)
-    scalars = [
-        (int(x) | int(y) << 63 | int(z) << 126 | int(w) << 189) % ech.R
-        for x, y, z, w in zip(*hi)
-    ]
-    sd = f.pack_ints(scalars)
-    pxd, pyd, pinfd, sdd = (jnp.asarray(x) for x in (px, py, pinf, sd))
-    np.asarray(pxd[0, :1])  # force h2d before timing
-    t0 = time.monotonic()
-    out = msm_packed(pxd, pyd, pinfd, sdd)
-    t_first = time.monotonic() - t0
-    t0 = time.monotonic()
-    out = msm_packed(pxd, pyd, pinfd, sdd)
-    t_msm = time.monotonic() - t0
-    msm_points_per_s = n_pts / t_msm
-    log(f"msm 2^{k_msm}: first={t_first:.1f}s warm={t_msm:.2f}s "
-        f"-> {msm_points_per_s/1e3:.1f} k pts/s")
-
-    # validate against the host oracle (native C++ MSM), cached per (k, seed)
-    exp_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "params",
-        f"bench_msm_expected_{k_msm}.json",
-    )
-    expected = None
-    if os.path.exists(exp_path):
-        with open(exp_path) as fh:
-            ex, ey = json.load(fh)
-            expected = (int(ex, 16), int(ey, 16)) if ex else None
-    else:
-        log("computing host-oracle MSM expectation (one-time)...")
-        xs = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(px))))
-        ys = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(py))))
-        inf = np.asarray(pinf)
-        pts = [None if inf[i] else (xs[i], ys[i]) for i in range(n_pts)]
-        t0 = time.monotonic()
-        expected = ech.g1_msm(pts, scalars)
-        log(f"host oracle took {time.monotonic()-t0:.1f}s")
-        os.makedirs(os.path.dirname(exp_path), exist_ok=True)
-        with open(exp_path, "w") as fh:
-            json.dump(
-                ["%x" % expected[0], "%x" % expected[1]] if expected else ["", ""], fh
+            k_msm = int(os.environ.get("BENCH_MSM_LOG2", "20"))
+            n_pts = 1 << k_msm
+            t0 = time.monotonic()
+            srs = read_or_create_srs(k_msm)
+            log(f"srs k={k_msm} ready in {time.monotonic()-t0:.1f}s")
+            px, py, pinf = srs.g1_px, srs.g1_py, srs.g1_inf
+            rng = np.random.default_rng(1)
+            hi = rng.integers(0, 2**63, (4, n_pts), dtype=np.int64)
+            scalars = [
+                (int(x) | int(y) << 63 | int(z) << 126 | int(w) << 189) % ech.R
+                for x, y, z, w in zip(*hi)
+            ]
+            sd = f.pack_ints(scalars)
+            pxd, pyd, pinfd, sdd = (jnp.asarray(x) for x in (px, py, pinf, sd))
+            np.asarray(pxd[0, :1])  # force h2d before timing
+            t0 = time.monotonic()
+            out = msm_packed(pxd, pyd, pinfd, sdd)
+            t_first = time.monotonic() - t0
+            t0 = time.monotonic()
+            out = msm_packed(pxd, pyd, pinfd, sdd)
+            t_msm = time.monotonic() - t0
+            msm_points_per_s = n_pts / t_msm
+            log(
+                f"msm 2^{k_msm}: first={t_first:.1f}s warm={t_msm:.2f}s "
+                f"-> {msm_points_per_s/1e3:.1f} k pts/s"
             )
-    msm_valid = out == expected
-    extras["msm_valid"] = bool(msm_valid)
-    extras["msm_warm_s"] = round(t_msm, 3)
-    if not msm_valid:
-        log(f"** MSM VALIDATION FAILED: got {out} want {expected}")
+
+            # validate against the host oracle (native C++ MSM). The expected
+            # value is a committed fixture (params_fixtures/): SRS bases are
+            # dev-deterministic and the scalar stream is seeded, so the value
+            # is machine-independent. Fall back to computing it once.
+            exp_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "params_fixtures",
+                f"bench_msm_expected_{k_msm}.json",
+            )
+            expected = None
+            if os.path.exists(exp_path):
+                with open(exp_path) as fh:
+                    ex, ey = json.load(fh)
+                    expected = (int(ex, 16), int(ey, 16)) if ex else None
+            else:
+                log("computing host-oracle MSM expectation (one-time)...")
+                xs = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(px))))
+                ys = f.unpack_ints(np.asarray(f.from_mont(f.FQ, jnp.asarray(py))))
+                inf = np.asarray(pinf)
+                pts = [None if inf[i] else (xs[i], ys[i]) for i in range(n_pts)]
+                t0 = time.monotonic()
+                expected = ech.g1_msm(pts, scalars)
+                log(f"host oracle took {time.monotonic()-t0:.1f}s")
+                os.makedirs(os.path.dirname(exp_path), exist_ok=True)
+                with open(exp_path, "w") as fh:
+                    json.dump(
+                        ["%x" % expected[0], "%x" % expected[1]] if expected else ["", ""],
+                        fh,
+                    )
+            msm_valid = out == expected
+            extras["msm_valid"] = bool(msm_valid)
+            extras["msm_warm_s"] = round(t_msm, 3)
+            if not msm_valid:
+                log(f"** MSM VALIDATION FAILED: got {out} want {expected}")
+    except PhaseTimeout as e:
+        log(f"** phase timed out: {e}")
+        extras["msm_timeout"] = True
 
     # ---- proofs/sec on the reference bench geometry -----------------------
     # ENC=128/LIMB=64, k=14, lookup 13: /root/reference/src/bench.rs:161-179
     if os.environ.get("BENCH_SKIP_PROOF") != "1":
-        import random
+        try:
+            with deadline(remaining() - 60, "proof"):
+                import random
 
-        from paillier_halo2_tpu.bignum.host import paillier_enc_native
-        from paillier_halo2_tpu.gadgets.context import Context
-        from paillier_halo2_tpu.gadgets.range import RangeChip
-        from paillier_halo2_tpu.harness import PaillierEncryptionInput, paillier_enc_test
-        from paillier_halo2_tpu.plonk.keygen import keygen
-        from paillier_halo2_tpu.plonk.prover import create_proof
-        from paillier_halo2_tpu.plonk.verifier import verify_proof
+                from paillier_halo2_tpu.bignum.host import paillier_enc_native
+                from paillier_halo2_tpu.gadgets.context import Context
+                from paillier_halo2_tpu.gadgets.range import RangeChip
+                from paillier_halo2_tpu.harness import (
+                    PaillierEncryptionInput,
+                    paillier_enc_test,
+                )
+                from paillier_halo2_tpu.plonk.keygen import keygen
+                from paillier_halo2_tpu.plonk.prover import create_proof
+                from paillier_halo2_tpu.plonk.srs import read_or_create_srs
+                from paillier_halo2_tpu.plonk.verifier import verify_proof
 
-        K = int(os.environ.get("BENCH_PROOF_K", "14"))
-        LK, ENC, LIMB = K - 1, 128, 64
-        prng = random.Random(14)
-        n = prng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
-        g, m, rr_ = (prng.getrandbits(ENC) for _ in range(3))
-        inp = PaillierEncryptionInput(
-            enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=rr_,
-            res=paillier_enc_native(n, g, m, rr_),
-        )
-        ctx = Context()
-        rc = RangeChip(ctx, LK)
-        paillier_enc_test(ctx, rc, inp)
-        table = ctx.finalize()
-        log(f"proof circuit: {table.n_rows} rows, k={K}")
-        srs_p = read_or_create_srs(K)
-        t0 = time.monotonic()
-        pk = keygen(table, K, LK, srs_p)
-        t_keygen = time.monotonic() - t0
-        t0 = time.monotonic()
-        proof = create_proof(pk, table)
-        t_cold = time.monotonic() - t0
-        t0 = time.monotonic()
-        proof = create_proof(pk, table)
-        t_proof = time.monotonic() - t0
-        t0 = time.monotonic()
-        ok = verify_proof(pk.vk, srs_p, proof)
-        t_verify = time.monotonic() - t0
-        extras.update(
-            proof_verified=bool(ok),
-            keygen_s=round(t_keygen, 2),
-            proof_cold_s=round(t_cold, 2),
-            proof_s=round(t_proof, 2),
-            verify_s=round(t_verify, 3),
-            proof_bytes=len(proof),
-            proofs_per_sec=round(1.0 / t_proof, 4),
-            proof_k=K,
-            proof_enc_bits=ENC,
-        )
-        log(f"k={K} enc128 proof: keygen={t_keygen:.1f}s cold={t_cold:.1f}s "
-            f"warm={t_proof:.1f}s verify={t_verify:.2f}s ok={ok} "
-            f"-> {1.0/t_proof:.4f} proofs/s")
+                K = int(os.environ.get("BENCH_PROOF_K", "14"))
+                LK, ENC, LIMB = K - 1, 128, 64
+                prng = random.Random(14)
+                n = prng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
+                g, m, rr_ = (prng.getrandbits(ENC) for _ in range(3))
+                inp = PaillierEncryptionInput(
+                    enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=rr_,
+                    res=paillier_enc_native(n, g, m, rr_),
+                )
+                ctx = Context()
+                rc = RangeChip(ctx, LK)
+                paillier_enc_test(ctx, rc, inp)
+                table = ctx.finalize()
+                log(f"proof circuit: {table.n_rows} rows, k={K}")
+                srs_p = read_or_create_srs(K)
+                t0 = time.monotonic()
+                pk = keygen(table, K, LK, srs_p)
+                t_keygen = time.monotonic() - t0
+                t0 = time.monotonic()
+                proof = create_proof(pk, table)
+                t_cold = time.monotonic() - t0
+                log(f"cold proof: {t_cold:.1f}s")
+                t0 = time.monotonic()
+                proof = create_proof(pk, table)
+                t_proof = time.monotonic() - t0
+                t0 = time.monotonic()
+                ok = verify_proof(pk.vk, srs_p, proof)
+                t_verify = time.monotonic() - t0
+                extras.update(
+                    proof_verified=bool(ok),
+                    keygen_s=round(t_keygen, 2),
+                    proof_cold_s=round(t_cold, 2),
+                    proof_s=round(t_proof, 2),
+                    verify_s=round(t_verify, 3),
+                    proof_bytes=len(proof),
+                    proofs_per_sec=round(1.0 / t_proof, 4),
+                    proof_k=K,
+                    proof_enc_bits=ENC,
+                )
+                log(
+                    f"k={K} enc128 proof: keygen={t_keygen:.1f}s cold={t_cold:.1f}s "
+                    f"warm={t_proof:.1f}s verify={t_verify:.2f}s ok={ok} "
+                    f"-> {1.0/t_proof:.4f} proofs/s"
+                )
+        except PhaseTimeout as e:
+            log(f"** phase timed out: {e}")
+            extras["proof_timeout"] = True
 
     # ---- vs_baseline: previous round's MSM value --------------------------
     vs = 1.0
     prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    if prev:
+    for pth in reversed(prev):
         try:
-            with open(prev[-1]) as fh:
+            with open(pth) as fh:
                 last = json.load(fh)
-            pv = last.get("parsed", last)
-            if pv.get("unit") == "points/s/chip" and pv.get("value"):
+            pv = last.get("parsed") or {}
+            if pv.get("unit") == "points/s/chip" and pv.get("value") and msm_points_per_s:
                 vs = msm_points_per_s / float(pv["value"])
+                break
         except Exception:
-            pass
+            continue
 
     print(
         json.dumps(
             {
-                "metric": f"msm_points_per_s_2^{k_msm}",
+                "metric": "msm_points_per_s_2^20",
                 "value": round(msm_points_per_s, 1),
                 "unit": "points/s/chip",
                 "vs_baseline": round(vs, 3),
                 **extras,
             }
-        )
+        ),
+        flush=True,
     )
 
 

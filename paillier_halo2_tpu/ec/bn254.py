@@ -124,30 +124,43 @@ def padd(p: JPoint, q: JPoint, nodouble: bool = False) -> JPoint:
         flat, lanes = _pallas_flatten([X1, Y1, Z1, X2, Y2, Z2], batch)
         out = padd_pallas(SPEC, *flat, nodouble=nodouble)
         return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
-    z1z1 = _sqr(Z1)
-    z2z2 = _sqr(Z2)
-    u1 = _mul(X1, z2z2)
-    u2 = _mul(X2, z1z1)
-    s1 = _mul(Y1, _mul(Z2, z2z2))
-    s2 = _mul(Y2, _mul(Z1, z1z1))
-    h = _sub(u2, u1)
-    r = _sub(s2, s1)
+    from ..utils.lean import compile_lean
 
-    hh = _sqr(h)
-    hhh = _mul(h, hh)
-    v = _mul(u1, hh)
-    rr = _sqr(r)
-    X3 = _sub(_sub(rr, hhh), _add(v, v))
-    Y3 = _sub(_mul(r, _sub(v, X3)), _mul(s1, hhh))
-    Z3 = _mul(_mul(Z1, Z2), h)
-    generic = (X3, Y3, Z3)
+    if compile_lean():
+        # straight-line-program interpreter: ~2 s of XLA:CPU compile per
+        # padd instance instead of ~35 s (see ec/slp.py); identical values.
+        from . import slp
+
+        br = slp.jacobian_branches(SPEC, X1, Y1, Z1, X2, Y2, Z2)
+        h, r = br["h"], br["r"]
+        generic = (br["X3"], br["Y3"], br["Z3"])
+        double = (br["Xd"], br["Yd"], br["Zd"])
+    else:
+        z1z1 = _sqr(Z1)
+        z2z2 = _sqr(Z2)
+        u1 = _mul(X1, z2z2)
+        u2 = _mul(X2, z1z1)
+        s1 = _mul(Y1, _mul(Z2, z2z2))
+        s2 = _mul(Y2, _mul(Z1, z1z1))
+        h = _sub(u2, u1)
+        r = _sub(s2, s1)
+
+        hh = _sqr(h)
+        hhh = _mul(h, hh)
+        v = _mul(u1, hh)
+        rr = _sqr(r)
+        X3 = _sub(_sub(rr, hhh), _add(v, v))
+        Y3 = _sub(_mul(r, _sub(v, X3)), _mul(s1, hhh))
+        Z3 = _mul(_mul(Z1, Z2), h)
+        generic = (X3, Y3, Z3)
+        double = pdouble(p)
 
     h_zero = _is_zero(h)
     r_zero = _is_zero(r)
     p_inf = _is_zero(Z1)
     q_inf = _is_zero(Z2)
 
-    res = point_select(h_zero & r_zero, pdouble(p), generic)
+    res = point_select(h_zero & r_zero, double, generic)
     res = point_select(h_zero & ~r_zero & ~p_inf & ~q_inf, infinity_like(p), res)
     res = point_select(q_inf, p, res)
     res = point_select(p_inf, q, res)
@@ -173,26 +186,37 @@ def padd_mixed(p: JPoint, q_affine: tuple[jnp.ndarray, jnp.ndarray], q_inf,
             qi = jnp.pad(qi, (0, pad), constant_values=True)
         out = padd_mixed_pallas(SPEC, *flat, qi, nodouble=nodouble)
         return tuple(c[:, :lanes].reshape((N_DIGITS,) + batch) for c in out)
-    z1z1 = _sqr(Z1)
-    u2 = _mul(X2, z1z1)
-    s2 = _mul(Y2, _mul(Z1, z1z1))
-    h = _sub(u2, X1)
-    r = _sub(s2, Y1)
+    from ..utils.lean import compile_lean
 
-    hh = _sqr(h)
-    hhh = _mul(h, hh)
-    v = _mul(X1, hh)
-    rr = _sqr(r)
-    X3 = _sub(_sub(rr, hhh), _add(v, v))
-    Y3 = _sub(_mul(r, _sub(v, X3)), _mul(Y1, hhh))
-    Z3 = _mul(Z1, h)
-    generic = (X3, Y3, Z3)
+    if compile_lean():
+        from . import slp
+
+        br = slp.mixed_branches(SPEC, X1, Y1, Z1, X2, Y2)
+        h, r = br["h"], br["r"]
+        generic = (br["X3"], br["Y3"], br["Z3"])
+        double = (br["Xd"], br["Yd"], br["Zd"])
+    else:
+        z1z1 = _sqr(Z1)
+        u2 = _mul(X2, z1z1)
+        s2 = _mul(Y2, _mul(Z1, z1z1))
+        h = _sub(u2, X1)
+        r = _sub(s2, Y1)
+
+        hh = _sqr(h)
+        hhh = _mul(h, hh)
+        v = _mul(X1, hh)
+        rr = _sqr(r)
+        X3 = _sub(_sub(rr, hhh), _add(v, v))
+        Y3 = _sub(_mul(r, _sub(v, X3)), _mul(Y1, hhh))
+        Z3 = _mul(Z1, h)
+        generic = (X3, Y3, Z3)
+        double = pdouble(p)
 
     h_zero = _is_zero(h)
     r_zero = _is_zero(r)
     p_inf = _is_zero(Z1)
 
-    res = point_select(h_zero & r_zero, pdouble(p), generic)
+    res = point_select(h_zero & r_zero, double, generic)
     res = point_select(h_zero & ~r_zero & ~p_inf, infinity_like(p), res)
     one = infinity_like(p)[0]
     q_jac = (X2, Y2, _sel(q_inf, jnp.zeros_like(Z1), one))

@@ -273,20 +273,40 @@ class SinglePhaseCoreManager:
     def synth_parallel(fn, n_instances: int, n_workers: int | None = None) -> VirtualTable:
         """Run fn(ctx, i) for i in range(n_instances) across forked worker
         processes; merge the per-instance tables in instance order. Workers
-        must not touch jax (pure host-int synthesis)."""
+        must not touch jax (pure host-int synthesis).
+
+        fork() after JAX initialization is officially unsupported (JAX is
+        multithreaded; a forked child can inherit a held lock), so the pool
+        wait is bounded: on timeout the pool is torn down and synthesis
+        falls back to serial in-process execution — slower, never hung."""
         import multiprocessing as mp
         import os
+        import sys
 
         global _synth_fn
         if n_workers is None:
             n_workers = min(os.cpu_count() or 1, n_instances)
+        if os.environ.get("PAILLIER_TPU_SERIAL_SYNTH") or "jax" in sys.modules:
+            # JAX threads already exist in this process: forking is a
+            # deadlock hazard (it hung the round-2 driver bench). Serial
+            # synthesis is GIL-bound but safe; heavy batch scripts that want
+            # the pool must call this before importing jax.
+            n_workers = 1
         _synth_fn = fn
+        tables = None
         try:
-            if n_workers <= 1 or n_instances <= 1:
+            if n_workers > 1 and n_instances > 1:
+                pool = mp.get_context("fork").Pool(n_workers)
+                try:
+                    res = pool.map_async(_synth_worker, range(n_instances))
+                    tables = res.get(timeout=120 + 30 * n_instances)
+                except mp.TimeoutError:
+                    tables = None
+                finally:
+                    pool.terminate()
+                    pool.join()
+            if tables is None:
                 tables = [_synth_worker(i) for i in range(n_instances)]
-            else:
-                with mp.get_context("fork").Pool(n_workers) as pool:
-                    tables = pool.map(_synth_worker, range(n_instances))
         finally:
             _synth_fn = None
         return merge_tables(tables)

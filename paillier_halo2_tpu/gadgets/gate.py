@@ -81,8 +81,14 @@ class GateChip:
 
     def assert_equal(self, a: Cells, b: Cells) -> None:
         """Copy-constraint equality (permutation argument semantics, the
-        mechanism behind assert_equal_fresh, /root/reference/src/paillier.rs:164)."""
+        mechanism behind assert_equal_fresh, /root/reference/src/paillier.rs:164).
+
+        Constraint-only, like halo2's constrain_equal [dep]: unequal witness
+        values synthesize fine and are caught by the MockProver's copy check
+        (or a non-closing permutation product in the real prover) — a hard
+        synthesis-time assert here would make unsatisfiable circuits
+        untestable. The reference's harness-level double-assert (witness
+        assert_eq AND constraint, /root/reference/src/bench.rs:58-74) lives
+        in harness/circuits.py, not in the gate."""
         assert len(a) == len(b)
         self.ctx.add_copies(a.idx, b.idx)
-        for x, y in zip(a.val, b.val):
-            assert int(x) == int(y), "witness equality violated at synthesis time"

@@ -59,6 +59,22 @@ def msm_sharded_multi(
     # axes minor-to-major (chips within a host over ICI before hosts over
     # DCN) with log-depth pairwise point-add trees.
     def _tree_reduce_axis(p, axis):
+        m = p[0].shape[axis]
+        if m > 1 and (m & (m - 1)) == 0:
+            # power-of-two width: constant-shape roll-and-add fold — ONE
+            # compiled padd instance for the whole log-depth tree (step i
+            # only needs lanes < m >> (i+1) correct, so no masking). The
+            # unrolled variant below emits log2(m) padd instances, each
+            # ~35 s of XLA:CPU compile (see ec/slp.py).
+            def fold(i, t):
+                half = jnp.right_shift(jnp.int32(m), i + 1)
+                shifted = tuple(jnp.roll(c, -half, axis=axis) for c in t)
+                return bn254.padd(t, shifted)
+
+            p = jax.lax.fori_loop(0, m.bit_length() - 1, fold, p)
+            return tuple(
+                jnp.take(c, jnp.arange(0, 1), axis=axis) for c in p
+            )
         while p[0].shape[axis] > 1:
             m = p[0].shape[axis]
             half = m // 2

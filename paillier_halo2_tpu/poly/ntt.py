@@ -53,6 +53,38 @@ def _powers(base: int, count: int) -> list[int]:
     return out
 
 
+def _use_scan_stages() -> bool:
+    """Stage-loop lowering choice. The unrolled form emits k mont_mul
+    subgraphs — fastest at runtime but XLA:CPU's LLVM backend spends ~1.5 s
+    compiling EACH mont_mul instance, so a k=14 transform costs ~20 s of
+    compile per distinct batch shape (the round-2 driver dryrun timed out on
+    exactly this). The scanned form runs the k stages through ONE fori_loop
+    body (gather-based butterflies, twiddles indexed out of a single
+    root-power table), compiling one mont_mul regardless of k. Default: scan
+    on CPU (tests, virtual meshes, driver dryrun), unrolled on accelerators.
+    PAILLIER_TPU_NTT_SCAN=0/1 overrides."""
+    import os
+
+    env = os.environ.get("PAILLIER_TPU_NTT_SCAN")
+    if env is not None:
+        return env == "1"
+    from ..utils.lean import compile_lean
+
+    return compile_lean()
+
+
+@functools.lru_cache(maxsize=None)
+def _root_pow_table(k: int, inverse: bool) -> np.ndarray:
+    """Montgomery digits of w^i for i < 2^(k-1), w the (inverse) 2^k-th root.
+    Stage s of the scanned NTT reads its 2^s twiddles at stride n >> (s+1)."""
+    p = host.FR_MOD
+    w = host.root_of_unity(k)
+    if inverse:
+        w = pow(w, p - 2, p)
+    count = max(1 << (k - 1), 1)
+    return f.pack_ints([x * f.FR.r_mod_p % p for x in _powers(w, count)])
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def ntt(x: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
     """In-order NTT along the LAST axis of a (N_DIGITS, ..., 2^k)
@@ -69,15 +101,39 @@ def ntt(x: jnp.ndarray, k: int, inverse: bool = False) -> jnp.ndarray:
     spec = f.FR
     x = jnp.take(x, jnp.asarray(_bitrev(k)), axis=-1)
     ones = (1,) * len(batch)
-    for s, tw in enumerate(_stage_twiddles(k, inverse)):
-        half = 1 << s
-        xb = x.reshape(N_DIGITS, *batch, n >> (s + 1), 2, half)
-        u = xb[..., 0, :]
-        v = f.mont_mul(spec, xb[..., 1, :], jnp.asarray(tw).reshape(N_DIGITS, *ones, 1, half))
-        x = jnp.concatenate(
-            [f.add(spec, u, v)[..., None, :], f.sub(spec, u, v)[..., None, :]], axis=-2
-        )
-        x = x.reshape(N_DIGITS, *batch, n)
+    if k and _use_scan_stages():
+        tw_tab = jnp.asarray(_root_pow_table(k, inverse))  # (D, n/2)
+        j = jnp.arange(n, dtype=jnp.int32)
+
+        def body(s, x):
+            half = jnp.left_shift(jnp.int32(1), s)
+            partner = j ^ half
+            is_hi = (j & half) != 0
+            xp = jnp.take(x, partner, axis=-1)
+            u = jnp.where(is_hi, xp, x)
+            vr = jnp.where(is_hi, x, xp)
+            stride = jnp.right_shift(jnp.int32(n), s + 1)
+            tw_idx = (j & (half - 1)) * stride
+            tw = jnp.take(tw_tab, tw_idx, axis=-1).reshape(
+                (N_DIGITS,) + ones + (n,)
+            )
+            v = f.mont_mul(spec, vr, tw)
+            return jnp.where(is_hi, f.sub(spec, u, v), f.add(spec, u, v))
+
+        x = jax.lax.fori_loop(0, k, body, x)
+    else:
+        for s, tw in enumerate(_stage_twiddles(k, inverse)):
+            half = 1 << s
+            xb = x.reshape(N_DIGITS, *batch, n >> (s + 1), 2, half)
+            u = xb[..., 0, :]
+            v = f.mont_mul(
+                spec, xb[..., 1, :], jnp.asarray(tw).reshape(N_DIGITS, *ones, 1, half)
+            )
+            x = jnp.concatenate(
+                [f.add(spec, u, v)[..., None, :], f.sub(spec, u, v)[..., None, :]],
+                axis=-2,
+            )
+            x = x.reshape(N_DIGITS, *batch, n)
     if inverse:
         n_inv = pow(n, host.FR_MOD - 2, host.FR_MOD)
         scale = f.pack_ints([n_inv * spec.r_mod_p % host.FR_MOD])

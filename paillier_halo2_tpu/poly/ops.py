@@ -63,50 +63,33 @@ def _mesh_for(n: int):
 # -- fast packing ------------------------------------------------------------
 
 
-_PACK_PARALLEL_MIN = 1 << 19
-_pack_src: np.ndarray | None = None  # fork-inherited by _pack_shard workers
-
-
-def _pack_shard(bounds):
-    lo, hi = bounds
-    return b"".join(int(v).to_bytes(32, "little") for v in _pack_src[lo:hi])
-
-
 def pack_values(vals) -> np.ndarray:
     """Object-int array/list of any shape S -> (N_DIGITS, *S) uint32 digits
-    (standard form, row-major batch order). Large inputs shard the
-    int->bytes conversion across forked worker processes, which see the
-    source array via fork copy-on-write (no pickling of the ints); the
-    witness-pack phase of big batched circuits runs ~0.7 M vals/s
-    single-core otherwise."""
-    global _pack_src
+    (standard form, row-major batch order).
+
+    Deliberately single-process: an earlier revision forked worker processes
+    for large inputs, but fork() after JAX initialization is unsupported (JAX
+    is multithreaded; a child can inherit a held lock) and it deadlocked the
+    round-2 driver bench. Serial int->bytes runs ~0.7-1 M vals/s — under a
+    second for the reference bench geometry, ~10 s at the heavy k=20 batch —
+    which is cheaper than any amount of fork risk. Values that fit in uint64
+    (the vast majority: limbs and small witnesses) take a vectorized numpy
+    path instead of per-int to_bytes."""
     arr = np.asarray(vals, dtype=object)
     flat = arr.reshape(-1)
     n = len(flat)
-    parts = None
-    if n >= _PACK_PARALLEL_MIN and os.cpu_count() and os.cpu_count() > 1:
-        import multiprocessing as mp
-
-        w = min(os.cpu_count(), 8)
-        _pack_src = flat
-        try:
-            # fork after JAX initialization is officially unsupported (the
-            # children never touch jax, and this works on the target boxes,
-            # but a deadlocked child must not hang the prover): bounded wait,
-            # serial fallback.
-            with mp.get_context("fork").Pool(w) as pool:
-                async_res = pool.map_async(
-                    _pack_shard, [(n * i // w, n * (i + 1) // w) for i in range(w)]
-                )
-                parts = async_res.get(timeout=60 + n // 100_000)
-        except mp.TimeoutError:
-            parts = None
-        finally:
-            _pack_src = None
-    if parts is not None:
-        buf = b"".join(parts)
-    else:
-        buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
+    # Fast path: every value < 2^63 converts losslessly through int64.
+    try:
+        small = flat.astype(np.int64)
+    except (OverflowError, TypeError):
+        small = None
+    if small is not None and n and (small >= 0).all():
+        u = small.astype(np.uint64)
+        dig = np.zeros((N_DIGITS, n), dtype=np.uint32)
+        for d in range(8):  # 8 bytes of a uint64
+            dig[d] = ((u >> np.uint64(8 * d)) & np.uint64(0xFF)).astype(np.uint32)
+        return dig.reshape((N_DIGITS,) + arr.shape)
+    buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
     dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T.astype(np.uint32)
     return dig.reshape((N_DIGITS,) + arr.shape)
 
@@ -229,9 +212,38 @@ def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndar
 
 
 @jax.jit
+def _suffix_sum(arr: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive suffix sum (mod p) along axis 1 via a fori_loop
+    Hillis-Steele scan: ONE compiled f.add body, log2(n) rounds."""
+    n = arr.shape[1]
+    if n <= 1:
+        return arr
+    j = jnp.arange(n, dtype=jnp.int32).reshape((1, n) + (1,) * (arr.ndim - 2))
+
+    def body(i, x):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        rolled = jnp.roll(x, -shift, axis=1)
+        s = f.add(SPEC, x, rolled)
+        return jnp.where(j < n - shift, s, x)
+
+    return jax.lax.fori_loop(0, (n - 1).bit_length(), body, arr)
+
+
+@jax.jit
 def _sum_reduce(arr: jnp.ndarray) -> jnp.ndarray:
     """Tree-sum along the LAST axis (mod p): (D, ..., n) -> (D, ..., 1)."""
     n = arr.shape[-1]
+    if n > 1 and _compile_lean():
+        # roll-and-add at constant width: one compiled f.add body.
+        j = jnp.arange(n, dtype=jnp.int32)
+
+        def body(i, x):
+            half = jnp.left_shift(jnp.int32(1), i)
+            rolled = jnp.roll(x, -half, axis=-1)
+            s = f.add(SPEC, x, rolled)
+            return jnp.where(j < n - half, s, x)
+
+        return jax.lax.fori_loop(0, (n - 1).bit_length(), body, arr)[..., :1]
     while n > 1:
         half = (n + 1) // 2
         pad = half * 2 - n
@@ -274,9 +286,41 @@ def eval_at(coeffs: jnp.ndarray, x: int) -> int:
 # -- scans -------------------------------------------------------------------
 
 
+def _compile_lean() -> bool:
+    """Lowering choice for the scans below (see utils/lean.py): the
+    associative_scan forms unroll ~2*log2(n) mont_mul subgraphs (minutes of
+    XLA:CPU compile); the fori_loop Hillis-Steele forms compile ONE mont_mul
+    regardless of n at n*log n runtime work — the right trade on the
+    compile-bound CPU path, the wrong one on accelerators."""
+    from ..utils.lean import compile_lean
+
+    return compile_lean()
+
+
+def _hillis_scan_mul(arr: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+    """Inclusive prefix (or suffix) product along the LAST axis via a
+    fori_loop Hillis-Steele scan: one compiled mont_mul body, log2(n) rounds."""
+    n = arr.shape[-1]
+    if n <= 1:
+        return arr
+    rounds = (n - 1).bit_length()
+    j = jnp.arange(n, dtype=jnp.int32)
+
+    def body(i, x):
+        shift = jnp.left_shift(jnp.int32(1), i)
+        rolled = jnp.roll(x, -shift if reverse else shift, axis=-1)
+        mask = (j < n - shift) if reverse else (j >= shift)
+        prod = f.mont_mul(SPEC, x, rolled)
+        return jnp.where(mask, prod, x)
+
+    return jax.lax.fori_loop(0, rounds, body, arr)
+
+
 @jax.jit
 def prefix_product(arr: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix product along the LAST axis (Montgomery form)."""
+    if _compile_lean():
+        return _hillis_scan_mul(arr, reverse=False)
     return jax.lax.associative_scan(
         lambda a, b: f.mont_mul(SPEC, a, b), arr, axis=arr.ndim - 1
     )
@@ -294,8 +338,12 @@ def batch_inverse(arr: jnp.ndarray) -> jnp.ndarray:
     if n == 1:
         return f.mont_inv(SPEC, arr)
     mul = lambda a, b: f.mont_mul(SPEC, a, b)
-    pre = jax.lax.associative_scan(mul, arr, axis=ax)
-    suf = jax.lax.associative_scan(mul, arr, axis=ax, reverse=True)
+    if _compile_lean():
+        pre = _hillis_scan_mul(arr, reverse=False)
+        suf = _hillis_scan_mul(arr, reverse=True)
+    else:
+        pre = jax.lax.associative_scan(mul, arr, axis=ax)
+        suf = jax.lax.associative_scan(mul, arr, axis=ax, reverse=True)
     one_col = jnp.broadcast_to(
         jnp.asarray(f.pack_ints([SPEC.r_mod_p])).reshape((N_DIGITS,) + (1,) * (arr.ndim - 1)),
         arr.shape[:-1] + (1,),
@@ -331,9 +379,7 @@ def synthetic_divide(coeffs: jnp.ndarray, z: int) -> jnp.ndarray:
         acc = acc * z % P
         iacc = iacc * zinv % P
     d = f.mont_mul(SPEC, coeffs, jnp.asarray(pack_values(zpow)))
-    incl = jax.lax.associative_scan(
-        lambda a, b: f.add(SPEC, a, b), d, axis=1, reverse=True
-    )
+    incl = _suffix_sum(d)
     s = jnp.concatenate([incl[:, 1:], jnp.zeros((N_DIGITS, 1), jnp.uint32)], axis=1)
     return f.mont_mul(SPEC, s, jnp.asarray(pack_values(zinvpow)))
 

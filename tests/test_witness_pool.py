@@ -81,16 +81,23 @@ def test_merge_tables_rebases_indices():
     assert int(m.values[off]) == 20
 
 
-def test_pack_values_parallel_matches_serial():
+def test_pack_values_fast_path_matches_slow():
+    """The vectorized uint64 fast path (all values < 2^63) must agree with
+    the generic big-int path, including shape handling and round-trips."""
     from paillier_halo2_tpu.poly import ops
 
     rng = random.Random(5)
-    vals = [rng.randrange(1 << 256) for _ in range(1000)]
-    want = ops.pack_values(vals)
-    old_min = ops._PACK_PARALLEL_MIN
-    ops._PACK_PARALLEL_MIN = 64
-    try:
-        got = ops.pack_values(vals)
-    finally:
-        ops._PACK_PARALLEL_MIN = old_min
-    assert np.array_equal(got, want)
+    small = [rng.randrange(1 << 63) for _ in range(1000)] + [0, 1, (1 << 63) - 1]
+    got = ops.pack_values(small)
+    assert ops.unpack_values(got) == small
+    # forcing the slow path by appending one big value must not change the
+    # digits of the small ones
+    big = small + [rng.randrange(1 << 256)]
+    got_big = ops.pack_values(big)
+    assert np.array_equal(got_big[:, : len(small)], got)
+    assert ops.unpack_values(got_big) == big
+    # 2-D object arrays keep their batch shape
+    arr = np.array([[rng.randrange(1 << 40) for _ in range(5)] for _ in range(3)], dtype=object)
+    g3 = ops.pack_values(arr)
+    assert g3.shape[1:] == (3, 5)
+    assert ops.unpack_values(g3) == [int(v) for v in arr.reshape(-1)]

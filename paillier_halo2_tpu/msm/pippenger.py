@@ -19,6 +19,11 @@ TPU-first formulation (no data-dependent scatters):
 
 The multi-chip version row-shards points/scalars and combines per-chip partial
 sums (SURVEY.md section 2.3: "sharded MSM"); see mesh/.
+
+Round 3: on TPU the bucket loop runs on lazy signed-Montgomery accumulators
+(ec/lazy_point.py — int16 digit storage, no carry chains in the kernel),
+canonicalized once after the sub-accumulator merge; the CPU/XLA fallback
+keeps the canonical path. Toggle with PAILLIER_TPU_LAZY=0/1.
 """
 from __future__ import annotations
 
@@ -57,6 +62,15 @@ def _inf_points(batch_shape) -> bn254.JPoint:
 
 
 import os
+
+
+def _use_lazy() -> bool:
+    """Lazy-Montgomery bucket loop (ec/lazy_point.py): default wherever the
+    Pallas kernels run (TPU); PAILLIER_TPU_LAZY=0/1 overrides."""
+    env = os.environ.get("PAILLIER_TPU_LAZY")
+    if env is not None:
+        return env == "1"
+    return f._use_pallas()
 
 
 def _schedule_defaults() -> tuple[int, int]:
@@ -179,8 +193,27 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     counts_l = jnp.take(counts.reshape(-1), win_map * n_buckets + bkt_map)
     order_flat = order.reshape(-1)
 
-    acc = _inf_points((n_lanes,))
     max_rounds = jnp.max((counts_l + nsub_map - 1) // nsub_map)
+    use_lazy = _use_lazy()
+    if use_lazy:
+        # round-3 fast path: accumulators live as int16 lazy signed digits
+        # (ec/lazy_point.py) — no carry chains in the kernel, half the HBM
+        # traffic; canonicalized once after the merge below.
+        from ..ec import lazy_point as lzp
+
+        pad_l = (-n_lanes) % lzp.BLOCK
+        acc = lzp.inf_acc(bn254.SPEC, (n_lanes + pad_l,))
+        if pad_l:
+            seg_lp = jnp.pad(seg_l, (0, pad_l))
+            counts_lp = jnp.pad(counts_l, (0, pad_l))  # count 0 => always off
+            sub_mapp = jnp.pad(sub_map, (0, pad_l))
+            nsub_mapp = jnp.pad(nsub_map, (0, pad_l), constant_values=1)
+            win_mapp = jnp.pad(win_map, (0, pad_l))
+        else:
+            seg_lp, counts_lp, sub_mapp, nsub_mapp, win_mapp = (
+                seg_l, counts_l, sub_map, nsub_map, win_map)
+    else:
+        acc = _inf_points((n_lanes,))
 
     def cond(state):
         r, _ = state
@@ -188,12 +221,22 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
 
     def body(state):
         r, acc = state
-        j = sub_map + r * nsub_map  # index within the bucket's sorted run
-        pos = jnp.clip(seg_l + j, 0, n - 1)
-        idx = jnp.take(order_flat, win_map * n + pos)  # original point indices
-        g = jnp.take(packed, idx, axis=0)  # (L, 16) dense rows
-        mask_off = j >= counts_l
-        acc = bn254.padd_mixed_packed(acc, g, mask_off, nodouble=True)
+        if use_lazy:
+            j = sub_mapp + r * nsub_mapp
+            pos = jnp.clip(seg_lp + j, 0, n - 1)
+            idx = jnp.take(order_flat, win_mapp * n + pos)  # pad lanes: win 0
+            g = jnp.take(packed, idx, axis=0)
+            mask_off = j >= counts_lp
+            from ..ec import lazy_point as lzp
+
+            acc = lzp.padd_mixed_packed_lazy(bn254.SPEC, *acc, g, mask_off)
+        else:
+            j = sub_map + r * nsub_map  # index within the bucket's sorted run
+            pos = jnp.clip(seg_l + j, 0, n - 1)
+            idx = jnp.take(order_flat, win_map * n + pos)  # original point indices
+            g = jnp.take(packed, idx, axis=0)  # (L, 16) dense rows
+            mask_off = j >= counts_l
+            acc = bn254.padd_mixed_packed(acc, g, mask_off, nodouble=True)
         return r + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc))
@@ -211,11 +254,34 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
         lb = nr * n_buckets * s
         blk = tuple(c[:, off : off + lb].reshape(N_DIGITS, nr, n_buckets, s) for c in acc)
         if s > 1:
+            if use_lazy:
+                from ..ec import lazy_point as lzp
 
-            def merge_body(i, t, s=s):
-                half = s >> (i + 1)
-                shifted = tuple(jnp.roll(c, -half, axis=3) for c in t)
-                return bn254.padd(t, shifted, nodouble=True)
+                padm = (-lb) % lzp.BLOCK
+
+                def merge_body(i, t, s=s, padm=padm, nr=nr):
+                    half = s >> (i + 1)
+                    flat = []
+                    for c in t:
+                        sh = jnp.roll(c, -half, axis=3).reshape(N_DIGITS, lb)
+                        cf = c.reshape(N_DIGITS, lb)
+                        if padm:
+                            sh = jnp.pad(sh, [(0, 0), (0, padm)])
+                            cf = jnp.pad(cf, [(0, 0), (0, padm)])
+                        flat.extend([cf, sh])
+                    o = lzp.padd_lazy(
+                        bn254.SPEC, flat[0], flat[2], flat[4], flat[1], flat[3], flat[5]
+                    )
+                    return tuple(
+                        c[:, :lb].reshape(N_DIGITS, nr, n_buckets, s) for c in o
+                    )
+
+            else:
+
+                def merge_body(i, t, s=s):
+                    half = s >> (i + 1)
+                    shifted = tuple(jnp.roll(c, -half, axis=3) for c in t)
+                    return bn254.padd(t, shifted, nodouble=True)
 
             blk = jax.lax.fori_loop(0, s.bit_length() - 1, merge_body, blk)
         parts.append(tuple(c[..., 0] for c in blk))
@@ -226,7 +292,12 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
         for i in range(3)
     )
     inv = jnp.asarray(np.argsort(np.array(row_order)))
-    return tuple(jnp.take(c, inv, axis=1) for c in merged)
+    merged = tuple(jnp.take(c, inv, axis=1) for c in merged)
+    if use_lazy:
+        from ..ec import lazy_point as lzp
+
+        merged = lzp.canonicalize_jp(bn254.SPEC, *merged)
+    return merged
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

@@ -38,6 +38,16 @@ def _machine_fingerprint() -> str:
                     break
     except OSError:
         h.update(platform.processor().encode())
+    # cpuinfo flags can match across boxes whose effective LLVM target
+    # features still differ (hypervisors mask amx/avx10 inconsistently) —
+    # the round-2 dryrun hit exactly that ("Machine type used for XLA:CPU
+    # compilation doesn't match"). Key per physical box too.
+    for ident in ("/etc/machine-id", "/proc/sys/kernel/hostname"):
+        try:
+            with open(ident, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
     return h.hexdigest()
 
 

@@ -1,0 +1,193 @@
+"""Lazy signed Montgomery arithmetic + fused lazy point kernels
+(ff/lazy_mont.py, ec/lazy_point.py) — lane-for-lane differential tests vs
+Python-int math and the XLA point path, including interpret-mode runs of the
+Pallas kernels (VERDICT round-1 item 5: direct kernel tests)."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paillier_halo2_tpu.ec import bn254
+from paillier_halo2_tpu.ec import host as ech
+from paillier_halo2_tpu.ec import lazy_point as lp
+from paillier_halo2_tpu.ff import field_jax as f
+from paillier_halo2_tpu.ff import lazy_mont as lz
+
+P = f.FQ.p
+R = 1 << 256
+RINV = pow(R, -1, P)
+PLAN = lz.get_lazy_plan(P)
+CONSTS = PLAN.consts()
+
+
+def val(arr):
+    a = np.asarray(arr, np.float64)
+    out = []
+    for lane in range(a.shape[1]):
+        acc = 0
+        for i in reversed(range(a.shape[0])):
+            acc = acc * 256 + int(a[i, lane])
+        out.append(acc)
+    return out
+
+
+def mk(vals):
+    return lz.to_lazy(jnp.asarray(f.pack_ints(vals)))
+
+
+def test_lmul_canonical_and_edge():
+    rng = random.Random(1)
+    B = 128
+    xs = [rng.randrange(P) for _ in range(B)]
+    ys = [rng.randrange(P) for _ in range(B)]
+    xs[:6] = [0, 1, P - 1, P - 1, 0, 1]
+    ys[:6] = [0, P - 1, P - 1, 1, 5, 1]
+    out = lz.lmul(CONSTS, mk(xs), mk(ys))
+    ov = val(out)
+    for i in range(B):
+        assert ov[i] % P == xs[i] * ys[i] * RINV % P, i
+    d = np.asarray(out)
+    assert -258 <= d.min() and d.max() <= 258
+    assert max(abs(v) for v in ov) / P < 1.6  # |v| <= 0.189*Va*Vb + 1.01
+
+
+def test_lmul_relaxed_operands():
+    rng = random.Random(2)
+    B = 128
+    xs = [rng.randrange(P) for _ in range(B)]
+    x2 = [rng.randrange(P) for _ in range(B)]
+    ys = [rng.randrange(P) for _ in range(B)]
+    y2 = [rng.randrange(P) for _ in range(B)]
+    a = mk(xs) + mk(x2)  # digits <= 510, v <= 2p
+    b = mk(ys) - mk(y2)  # digits in [-255, 255], |v| <= p
+    ov = val(lz.lmul(CONSTS, a, b))
+    for i in range(B):
+        assert ov[i] % P == (xs[i] + x2[i]) * (ys[i] - y2[i]) * RINV % P
+
+
+def test_lreduce_and_canonicalize():
+    rng = random.Random(3)
+    B = 128
+    xs = [rng.randrange(P) for _ in range(B)]
+    ys = [rng.randrange(P) for _ in range(B)]
+    x2 = [rng.randrange(P) for _ in range(B)]
+    y2 = [rng.randrange(P) for _ in range(B)]
+    big = 4 * (mk(xs) - mk(x2)) + 3 * (mk(ys) - mk(y2))  # |v| <= 7p
+    vin = val(big)
+    outr = lz.lreduce(CONSTS, big)
+    vout = val(outr)
+    for i in range(B):
+        assert (vin[i] - vout[i]) % P == 0
+        assert abs(vout[i]) <= 0.51 * P
+    can = lz.canonicalize(PLAN, big)
+    cv = f.unpack_ints(np.asarray(can))
+    for i in range(B):
+        assert cv[i] == vin[i] % P
+
+
+def test_zero_propagation():
+    z = jnp.zeros((32, 8), jnp.float32)
+    x = mk([random.Random(4).randrange(P)] * 8)
+    assert not np.asarray(lz.lmul(CONSTS, z, x)).any()
+    assert not np.asarray(lz.lmul(CONSTS, x, z)).any()
+    assert not np.asarray(lz.lreduce(CONSTS, z)).any()
+    assert not np.asarray(lz.canonicalize(PLAN, z)).any()
+
+
+def _rand_points(rng, n, holes=()):
+    pts = [ech.g1_mul(ech.G1, rng.randrange(1, ech.R)) for _ in range(n)]
+    for h in holes:
+        pts[h] = None
+    return pts
+
+
+def test_mixed_add_lazy_matches_xla():
+    rng = random.Random(7)
+    B = 128
+    pts_a = _rand_points(rng, B, holes=(0, 2))
+    pts_b = _rand_points(rng, B, holes=(1, 2))
+    ax, ay, ainf = bn254.pack_affine(pts_a)
+    bx, by, binf = bn254.pack_affine(pts_b)
+    one = f.pack_ints([bn254.SPEC.r_mod_p] * B)
+    accZ = jnp.asarray(np.where(ainf[None, :], np.zeros_like(one), one))
+    accX, accY = jnp.asarray(ax), jnp.asarray(ay)
+    packed = bn254.pack_points_dense(jnp.asarray(bx), jnp.asarray(by))
+    qinf = jnp.asarray(binf)
+
+    ref = bn254.unpack_jacobian(
+        bn254.padd_mixed((accX, accY, accZ), (jnp.asarray(bx), jnp.asarray(by)), qinf)
+    )
+    X1, Y1, Z1 = (lp._wrap_acc(c.astype(jnp.int32).astype(jnp.int16))
+                  for c in (accX, accY, accZ))
+    w = packed.T
+    X2 = lz.LV(lp._unpack_words_f32(w[:8]), 0, 255, 1.0)
+    Y2 = lz.LV(lp._unpack_words_f32(w[8:]), 0, 255, 1.0)
+    consts = CONSTS + (jnp.asarray(PLAN.one_dig),)
+    out = lp._mixed_add_lazy(PLAN, consts, X1, Y1, Z1, X2, Y2, qinf[None, :])
+    got = bn254.unpack_jacobian(
+        lp.canonicalize_jp(bn254.SPEC, *(lp._store(c) for c in out))
+    )
+    assert got == ref
+
+
+def test_chain_accumulation_matches_xla():
+    rng = random.Random(8)
+    B = 64
+    accL = lp.inf_acc(bn254.SPEC, (B,))
+    one = f.pack_ints([bn254.SPEC.r_mod_p] * B)
+    accR = (
+        jnp.broadcast_to(jnp.asarray(one), (32, B)),
+        jnp.broadcast_to(jnp.asarray(one), (32, B)),
+        jnp.zeros((32, B), jnp.uint32),
+    )
+    consts = CONSTS + (jnp.asarray(PLAN.one_dig),)
+    for _ in range(8):
+        ptsn = _rand_points(rng, B, holes=(3,))
+        nx, ny, ninf = bn254.pack_affine(ptsn)
+        pk = bn254.pack_points_dense(jnp.asarray(nx), jnp.asarray(ny))
+        X1, Y1, Z1 = (lp._wrap_acc(c) for c in accL)
+        w = pk.T
+        X2 = lz.LV(lp._unpack_words_f32(w[:8]), 0, 255, 1.0)
+        Y2 = lz.LV(lp._unpack_words_f32(w[8:]), 0, 255, 1.0)
+        out = lp._mixed_add_lazy(PLAN, consts, X1, Y1, Z1, X2, Y2,
+                                 jnp.asarray(ninf)[None, :])
+        accL = tuple(lp._store(c) for c in out)
+        accR = bn254.padd_mixed(accR, (jnp.asarray(nx), jnp.asarray(ny)),
+                                jnp.asarray(ninf))
+    got = bn254.unpack_jacobian(lp.canonicalize_jp(bn254.SPEC, *accL))
+    ref = bn254.unpack_jacobian(accR)
+    assert got == ref
+
+
+def test_pallas_kernels_interpret_mode():
+    rng = random.Random(9)
+    B = lp.BLOCK
+    pts_a = _rand_points(rng, B, holes=(0,))
+    pts_b = _rand_points(rng, B, holes=(1,))
+    ax, ay, ainf = bn254.pack_affine(pts_a)
+    bx, by, binf = bn254.pack_affine(pts_b)
+    one = f.pack_ints([bn254.SPEC.r_mod_p] * B)
+    accZ = jnp.asarray(np.where(ainf[None, :], np.zeros_like(one), one))
+    acc = lp.to_lazy_jp((jnp.asarray(ax), jnp.asarray(ay), accZ))
+    packed = bn254.pack_points_dense(jnp.asarray(bx), jnp.asarray(by))
+    out = lp.padd_mixed_packed_lazy(
+        bn254.SPEC, *acc, packed, jnp.asarray(binf), interpret=True
+    )
+    got = bn254.unpack_jacobian(lp.canonicalize_jp(bn254.SPEC, *out))
+    ref = bn254.unpack_jacobian(
+        bn254.padd_mixed(
+            (jnp.asarray(ax), jnp.asarray(ay), accZ),
+            (jnp.asarray(bx), jnp.asarray(by)),
+            jnp.asarray(binf),
+        )
+    )
+    assert got == ref
+
+    # jac + jac: adding an infinity triple must be the identity
+    o2 = lp.padd_lazy(
+        bn254.SPEC, *out, out[0], out[1], jnp.zeros_like(out[2]), interpret=True
+    )
+    g2 = bn254.unpack_jacobian(lp.canonicalize_jp(bn254.SPEC, *o2))
+    assert g2 == got

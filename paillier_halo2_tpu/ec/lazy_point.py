@@ -148,12 +148,16 @@ def _shared(spec: FieldSpec):
 
 
 def _mixed_kernel(plan, n_consts, *refs):
-    x1, y1, z1, pk, qinf = refs[:5]
-    consts = tuple(r[:] for r in refs[5 : 5 + n_consts])
-    ox, oy, oz = refs[5 + n_consts :]
+    x1, y1, z1, pk, qinf, negm = refs[:6]
+    consts = tuple(r[:] for r in refs[6 : 6 + n_consts])
+    ox, oy, oz = refs[6 + n_consts :]
     w = pk[:].T  # (16, BLOCK)
     X2 = lz.LV(_unpack_words_f32(w[:8]), 0, 255, 1.0)
-    Y2 = lz.LV(_unpack_words_f32(w[8:]), 0, 255, 1.0)
+    y2 = _unpack_words_f32(w[8:])
+    # signed-window negation: -P = (x, p - y), a digit-wise subtract in the
+    # lazy domain (value p - y <= p, digits in [-255, 255])
+    y2 = jnp.where(negm[:] != 0, consts[2] - y2, y2)
+    Y2 = lz.LV(y2, -255, 255, 1.0)
     X3, Y3, Z3 = _mixed_add_lazy(
         plan, consts,
         _wrap_acc(x1[:]), _wrap_acc(y1[:]), _wrap_acc(z1[:]),
@@ -164,30 +168,37 @@ def _mixed_kernel(plan, n_consts, *refs):
     oz[:] = _store(Z3)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+@functools.partial(jax.jit, static_argnums=(0, 7))
 def padd_mixed_packed_lazy(spec: FieldSpec, X1, Y1, Z1, packed, q_inf,
-                           interpret: bool = False):
+                           neg=None, interpret: bool = False):
     """Fused lazy mixed add: int16 accumulators + (N, 16)-packed affine.
-    q_inf: (N,) mask. N must be a multiple of BLOCK."""
+    q_inf: (N,) mask; neg: optional (N,) mask negating the affine operand
+    (signed Pippenger windows). N must be a multiple of BLOCK."""
     nd = N_DIGITS
     n = X1.shape[1]
     assert X1.shape == Y1.shape == Z1.shape == (nd, n) and X1.dtype == LZ_DTYPE
     assert packed.shape == (n, 16) and n % BLOCK == 0
     plan, consts, tail_specs = _shared(spec)
+    interpret = interpret or jax.default_backend() == "cpu"
     qi = q_inf.astype(jnp.int32).reshape(1, n)
+    if neg is None:
+        ng = jnp.zeros((1, n), jnp.int32)
+    else:
+        ng = neg.astype(jnp.int32).reshape(1, n)
 
     acc_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mixed_kernel, plan, len(consts)),
         grid=(n // BLOCK,),
         in_specs=[acc_spec] * 3
         + [pl.BlockSpec((BLOCK, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec((1, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)]
+        + [row_spec, row_spec]
         + tail_specs,
         out_specs=[acc_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((nd, n), LZ_DTYPE)] * 3,
         interpret=interpret,
-    )(X1, Y1, Z1, packed, qi, *consts)
+    )(X1, Y1, Z1, packed, qi, ng, *consts)
     return tuple(out)
 
 
@@ -213,6 +224,7 @@ def padd_lazy(spec: FieldSpec, X1, Y1, Z1, X2, Y2, Z2, interpret: bool = False):
     assert X1.shape == (nd, n) and X1.dtype == LZ_DTYPE
     assert n % BLOCK == 0
     plan, consts, tail_specs = _shared(spec)
+    interpret = interpret or jax.default_backend() == "cpu"
     acc_spec = pl.BlockSpec((nd, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_jadd_kernel, plan, len(consts)),

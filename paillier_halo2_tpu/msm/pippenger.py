@@ -114,12 +114,81 @@ def _sub_schedule(n_windows: int, window_bits: int, s_base: int | None = None,
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+def _signed_keys(scalar_digits, c: int):
+    """Signed window recoding: (32, N) 8-bit digits -> (W, N) int32 bucket
+    keys (= |digit|, 0 dead) and (W, N) bool negation masks, where the
+    scalar equals sum_w digit_w * 2^(c*w) with digit_w in [-(2^(c-1)-1),
+    2^(c-1)]. Halves the live bucket range per window (2^(c-1)+1 buckets),
+    letting windows grow ~1 bit at equal bucket cost; the point negation is
+    a digit-wise subtract in the lazy add kernel. No carry escapes the top
+    window for BN254 scalars (< 2^254, top window keys tiny)."""
+    n_windows = -(-256 // c)
+    d = scalar_digits.astype(jnp.uint32)
+    mask = (1 << c) - 1
+    raw = []
+    for w in range(n_windows):
+        o = c * w
+        i, sh = o // 8, o % 8
+        k = d[i] >> sh
+        if i + 1 < N_DIGITS:
+            k = k | (d[i + 1] << (8 - sh))
+        if i + 2 < N_DIGITS and c + sh > 16:
+            k = k | (d[i + 2] << (16 - sh))
+        raw.append(k & mask)
+    half = 1 << (c - 1)
+    carry = jnp.zeros_like(raw[0])
+    keys, negs = [], []
+    for w in range(n_windows):
+        k = raw[w] + carry  # <= 2^c
+        over = k > half
+        digit = jnp.where(over, k.astype(jnp.int32) - (1 << c), k.astype(jnp.int32))
+        carry = over.astype(jnp.uint32)
+        negs.append(digit < 0)
+        keys.append(jnp.abs(digit))
+    return jnp.stack(keys), jnp.stack(negs)
+
+
+def _sub_schedule_signed(n_windows: int, c: int, s_base: int | None = None,
+                         ) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Per-window (sub-accumulator counts, bucket-lane caps) for signed
+    windows (bucket range 2^(c-1)+1).
+
+    Tail windows see only V = (r >> c*w) + carry distinct key values; their
+    single live buckets would hold n_buckets/V times more points and a flat
+    (n_buckets x S) lane grid would either blow the round count or the lane
+    count. Capping the window's allocated bucket lanes at V (keys provably
+    never exceed it) makes lanes_w = V * S_w, so S_w can grow ~n_buckets/V
+    with per-window lane cost roughly CONSTANT and round counts equalized."""
+    if s_base is None:
+        s_base, _ = _schedule_defaults()
+    n_buckets = (1 << (c - 1)) + 1
+    subs, bcaps = [], []
+    for w in range(n_windows):
+        v = min(n_buckets, (ech.R >> (c * w)) + 3)
+        overload = n_buckets / v
+        s = s_base
+        while s < s_base * overload and s < 4096:
+            s *= 2
+        subs.append(s)
+        bcaps.append(v)
+    return tuple(subs), tuple(bcaps)
+
+
 def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
                        subs: tuple[int, ...] | None = None):
+    """Unsigned-window entry (see _bucket_impl): buckets (W, 2^window_bits)."""
+    if subs is None:
+        subs = _sub_schedule(keys.shape[0], window_bits)
+    return _bucket_impl(px, py, p_inf, keys, None, 1 << window_bits, subs, None)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _bucket_impl(px, py, p_inf, keys, neg, n_buckets: int,
+                 subs: tuple[int, ...], bcaps: tuple[int, ...] | None = None):
     """Per-(window, bucket) sums. px/py: (N_DIGITS, N) packed affine Montgomery;
-    p_inf: (N,) bool; keys: (W, N) int window keys. Returns Jacobian buckets
-    with batch (W, 2^c).
+    p_inf: (N,) bool; keys: (W, N) int window keys in [0, n_buckets); neg:
+    optional (W, N) bool — negate the gathered point (signed windows; lazy
+    path only). Returns Jacobian buckets with batch (W, n_buckets).
 
     Strategy: sort each window's keys, then gather-rounds where each
     (window, bucket, sub) lane accumulates every subs[w]-th point of its
@@ -141,17 +210,16 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     bases) degrades to infinity, never a wrong finite point."""
     n = px.shape[1]
     n_windows = keys.shape[0]
-    n_buckets = 1 << window_bits
-    if subs is None:
-        subs = _sub_schedule(n_windows, window_bits)
     assert len(subs) == n_windows
     packed = bn254.pack_points_dense(px, py)  # (N, 16)
     keys = jnp.where(p_inf[None, :], 0, keys.astype(jnp.int32))
+    kbits = (n_buckets - 1).bit_length()
     logn = max((n - 1).bit_length(), 1)
-    if window_bits + logn <= 31:
-        # single fused key sort: key-major, lane-minor => stable order for free
-        lane = jnp.arange(n, dtype=jnp.int32)
-        sk = jnp.sort((keys << logn) | lane[None, :], axis=1)
+    if kbits + logn <= 32:
+        # single fused key sort (uint32): key-major, lane-minor => stable
+        # order for free
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        sk = jnp.sort((keys.astype(jnp.uint32) << logn) | lane[None, :], axis=1)
         sorted_keys = (sk >> logn).astype(jnp.int32)
         order = (sk & ((1 << logn) - 1)).astype(jnp.int32)
     else:
@@ -168,21 +236,26 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     seg_start = seg_start.astype(jnp.int32)
     counts = counts.at[:, 0].set(0)  # bucket 0 contributes nothing
 
-    # Static lane maps: rows grouped by sub-count into rectangular blocks,
-    # block layout (rows, B, S) flattened C-order onto one lane axis.
-    blocks: list[tuple[int, list[int]]] = []
-    for w in sorted(range(n_windows), key=lambda w: subs[w]):
-        if blocks and blocks[-1][0] == subs[w]:
-            blocks[-1][1].append(w)
+    # Static lane maps: rows grouped by (sub-count, bucket-lane cap) into
+    # rectangular blocks, block layout (rows, Bcap, S) flattened C-order
+    # onto one lane axis. bcaps (signed schedule) shrink tail windows whose
+    # keys provably stay below the cap, so their lanes go to more
+    # sub-accumulators instead of dead buckets.
+    if bcaps is None:
+        bcaps = (n_buckets,) * n_windows
+    blocks: list[tuple[int, int, list[int]]] = []
+    for w in sorted(range(n_windows), key=lambda w: (subs[w], bcaps[w])):
+        if blocks and blocks[-1][0] == subs[w] and blocks[-1][1] == bcaps[w]:
+            blocks[-1][2].append(w)
         else:
-            blocks.append((subs[w], [w]))
+            blocks.append((subs[w], bcaps[w], [w]))
     win_np, bkt_np, sub_np, nsub_np = [], [], [], []
-    for s, rows in blocks:
+    for s, bc, rows in blocks:
         nr = len(rows)
-        win_np.append(np.repeat(np.array(rows, np.int32), n_buckets * s))
-        bkt_np.append(np.tile(np.repeat(np.arange(n_buckets, dtype=np.int32), s), nr))
-        sub_np.append(np.tile(np.arange(s, dtype=np.int32), nr * n_buckets))
-        nsub_np.append(np.full(nr * n_buckets * s, s, np.int32))
+        win_np.append(np.repeat(np.array(rows, np.int32), bc * s))
+        bkt_np.append(np.tile(np.repeat(np.arange(bc, dtype=np.int32), s), nr))
+        sub_np.append(np.tile(np.arange(s, dtype=np.int32), nr * bc))
+        nsub_np.append(np.full(nr * bc * s, s, np.int32))
     win_map = jnp.asarray(np.concatenate(win_np))
     bkt_map = jnp.asarray(np.concatenate(bkt_np))
     sub_map = jnp.asarray(np.concatenate(sub_np))
@@ -195,6 +268,8 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
 
     max_rounds = jnp.max((counts_l + nsub_map - 1) // nsub_map)
     use_lazy = _use_lazy()
+    assert neg is None or use_lazy, "signed windows need the lazy kernels"
+    neg_flat = None if neg is None else neg.reshape(-1)
     if use_lazy:
         # round-3 fast path: accumulators live as int16 lazy signed digits
         # (ec/lazy_point.py) — no carry chains in the kernel, half the HBM
@@ -227,9 +302,13 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
             idx = jnp.take(order_flat, win_mapp * n + pos)  # pad lanes: win 0
             g = jnp.take(packed, idx, axis=0)
             mask_off = j >= counts_lp
+            negl = None
+            if neg_flat is not None:
+                negl = jnp.take(neg_flat, win_mapp * n + idx)
             from ..ec import lazy_point as lzp
 
-            acc = lzp.padd_mixed_packed_lazy(bn254.SPEC, *acc, g, mask_off)
+            acc = lzp.padd_mixed_packed_lazy(bn254.SPEC, *acc, g, mask_off,
+                                             neg=negl)
         else:
             j = sub_map + r * nsub_map  # index within the bucket's sorted run
             pos = jnp.clip(seg_l + j, 0, n - 1)
@@ -249,17 +328,17 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
     parts = []
     row_order: list[int] = []
     off = 0
-    for s, rows in blocks:
+    for s, bc, rows in blocks:
         nr = len(rows)
-        lb = nr * n_buckets * s
-        blk = tuple(c[:, off : off + lb].reshape(N_DIGITS, nr, n_buckets, s) for c in acc)
+        lb = nr * bc * s
+        blk = tuple(c[:, off : off + lb].reshape(N_DIGITS, nr, bc, s) for c in acc)
         if s > 1:
             if use_lazy:
                 from ..ec import lazy_point as lzp
 
                 padm = (-lb) % lzp.BLOCK
 
-                def merge_body(i, t, s=s, padm=padm, nr=nr):
+                def merge_body(i, t, s=s, padm=padm, nr=nr, bc=bc, lb=lb):
                     half = s >> (i + 1)
                     flat = []
                     for c in t:
@@ -273,7 +352,7 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
                         bn254.SPEC, flat[0], flat[2], flat[4], flat[1], flat[3], flat[5]
                     )
                     return tuple(
-                        c[:, :lb].reshape(N_DIGITS, nr, n_buckets, s) for c in o
+                        c[:, :lb].reshape(N_DIGITS, nr, bc, s) for c in o
                     )
 
             else:
@@ -284,7 +363,14 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
                     return bn254.padd(t, shifted, nodouble=True)
 
             blk = jax.lax.fori_loop(0, s.bit_length() - 1, merge_body, blk)
-        parts.append(tuple(c[..., 0] for c in blk))
+        first = tuple(c[..., 0] for c in blk)  # (N_DIGITS, nr, bc)
+        if bc < n_buckets:
+            # capped windows: pad the dead bucket range with (0, 0, Z=0) —
+            # the canonical infinity encoding for every downstream consumer
+            first = tuple(
+                jnp.pad(c, [(0, 0), (0, 0), (0, n_buckets - bc)]) for c in first
+            )
+        parts.append(first)
         row_order.extend(rows)
         off += lb
     merged = tuple(
@@ -304,12 +390,13 @@ def _bucket_accumulate(px, py, p_inf, keys, window_bits: int,
 def _window_sums(buckets, n_buckets: int):
     """T_w = sum_b b * B_{w,b} via the suffix-sum identity
     T = sum_{b>=1} S_b with S_b = sum_{b'>=b} B_{b'}, computed at full
-    (W, B) lane width in log depth: a Hillis-Steele suffix scan
-    (log2 B masked point-adds) then a pairwise tree reduction over the
-    bucket axis (log2 B more) — 2*log2(B) sequential adds instead of
-    2*(B-1), keeping the batch large enough for the Pallas mulmod path."""
+    (W, B) lane width in log depth: a Hillis-Steele suffix scan then a
+    Hillis-Steele full reduction over the bucket axis — 2*ceil(log2 B)
+    sequential adds instead of 2*(B-1), keeping the batch large enough for
+    the Pallas mulmod path. Works for any n_buckets (signed windows use
+    2^(c-1)+1), not just powers of two."""
     idx = jnp.arange(n_buckets)
-    log_b = n_buckets.bit_length() - 1
+    log_b = (n_buckets - 1).bit_length()
 
     def masked(p: bn254.JPoint, valid) -> bn254.JPoint:
         # invalid lanes become infinity (Z = 0); padd resolves them.
@@ -323,37 +410,71 @@ def _window_sums(buckets, n_buckets: int):
     s = jax.lax.fori_loop(0, log_b, scan_body, buckets)
 
     def reduce_body(i, t):
-        half = n_buckets >> (i + 1)
-        shifted = tuple(jnp.roll(c, -half, axis=2) for c in t)
-        return masked(bn254.padd(t, shifted), idx < half)
+        step = 1 << i
+        shifted = tuple(jnp.roll(c, -step, axis=2) for c in t)
+        return bn254.padd(t, masked(shifted, idx < n_buckets - step))
 
     t = masked(s, idx >= 1)  # drop S_0 (bucket weight starts at 1)
     t = jax.lax.fori_loop(0, log_b, reduce_body, t)
     return tuple(c[:, :, 0] for c in t)
 
 
+def _signed_window_bits() -> int | None:
+    """Signed-window size for the lazy path, or None for unsigned windows.
+    PAILLIER_TPU_MSM_SIGNED=<c> forces (0 disables); default c=12 on the
+    lazy (TPU) path — measured best at 2^20, ~1.6x fewer bucket adds than
+    unsigned c=8."""
+    env = os.environ.get("PAILLIER_TPU_MSM_SIGNED")
+    if env is not None:
+        c = int(env)
+        return c if c > 0 else None
+    return 12 if _use_lazy() else None
+
+
 def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -> list[ech.Point]:
     """Batched MSMs sharing one base set: scalar_digits_multi is (P, 32, N);
     returns P host affine results. The poly axis folds into the window axis,
     so P commitments cost one kernel invocation (bucket rounds amortize) —
-    the natural shape for committing a whole proof phase's columns at once."""
+    the natural shape for committing a whole proof phase's columns at once.
+
+    On the lazy (TPU) path, windows are SIGNED c-bit digits (default c=12,
+    _signed_window_bits): 2^(c-1)+1 buckets per window and a negation mask
+    into the fused add kernel, cutting total bucket adds vs unsigned c=8."""
     sd = jnp.asarray(scalar_digits_multi)
     assert sd.ndim == 3
     n_polys = sd.shape[0]
-    keys = jax.vmap(lambda s: _keys_from_digits(s, window_bits))(sd)  # (P, W, N)
-    n_windows = keys.shape[1]
-    keys = keys.reshape(n_polys * n_windows, -1)
-    subs = _sub_schedule(n_windows, window_bits) * n_polys  # row = p*W + w
-    buckets = _bucket_accumulate(
-        jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, window_bits, subs
-    )
-    tw = _window_sums(buckets, 1 << window_bits)
+    c_signed = _signed_window_bits()
+    if c_signed is not None:
+        kn = jax.vmap(lambda s: _signed_keys(s, c_signed))(sd)  # (P, W, N) x2
+        keys, negs = kn
+        n_windows = keys.shape[1]
+        keys = keys.reshape(n_polys * n_windows, -1)
+        negs = negs.reshape(n_polys * n_windows, -1)
+        n_buckets = (1 << (c_signed - 1)) + 1
+        subs, bcaps = _sub_schedule_signed(n_windows, c_signed)
+        buckets = _bucket_impl(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf),
+            keys, negs, n_buckets, subs * n_polys, bcaps * n_polys,
+        )
+        shift = c_signed
+    else:
+        keys = jax.vmap(lambda s: _keys_from_digits(s, window_bits))(sd)  # (P, W, N)
+        n_windows = keys.shape[1]
+        keys = keys.reshape(n_polys * n_windows, -1)
+        n_buckets = 1 << window_bits
+        subs = _sub_schedule(n_windows, window_bits) * n_polys  # row = p*W + w
+        buckets = _bucket_accumulate(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys,
+            window_bits, subs,
+        )
+        shift = window_bits
+    tw = _window_sums(buckets, n_buckets)
     pts = bn254.unpack_jacobian(tw)  # (P*W) window sums, poly-major
     out = []
     for pi in range(n_polys):
         acc = None
         for p in reversed(pts[pi * n_windows : (pi + 1) * n_windows]):
-            for _ in range(window_bits):
+            for _ in range(shift):
                 acc = ech.g1_double(acc)
             acc = ech.g1_add(acc, p)
         out.append(acc)

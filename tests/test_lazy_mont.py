@@ -161,6 +161,54 @@ def test_chain_accumulation_matches_xla():
     assert got == ref
 
 
+def test_signed_window_recoding_exact():
+    from paillier_halo2_tpu.msm import pippenger as pip
+
+    rng = random.Random(21)
+    for c in (10, 12, 13):
+        scalars = [rng.randrange(ech.R) for _ in range(64)] + [0, 1, ech.R - 1]
+        sd = jnp.asarray(f.pack_ints(scalars))
+        keys, negs = pip._signed_keys(sd, c)
+        k = np.asarray(keys)
+        ng = np.asarray(negs)
+        half = 1 << (c - 1)
+        for i, s in enumerate(scalars):
+            acc = sum(
+                (-int(k[w, i]) if ng[w, i] else int(k[w, i])) << (c * w)
+                for w in range(k.shape[0])
+            )
+            assert acc == s, (c, i)
+            assert k[:, i].max() <= half, (c, i)
+        # per-window caps from the schedule really bound the keys
+        _, bcaps = pip._sub_schedule_signed(k.shape[0], c)
+        assert all(k[w].max() < bcaps[w] for w in range(k.shape[0]))
+
+
+def test_signed_msm_small_interpret(monkeypatch):
+    """End-to-end signed-window MSM through the lazy kernels (interpret
+    mode) vs the host oracle — small size, distinct bases."""
+    from paillier_halo2_tpu.msm import pippenger as pip
+
+    monkeypatch.setenv("PAILLIER_TPU_LAZY", "1")
+    monkeypatch.setenv("PAILLIER_TPU_MSM_SIGNED", "10")
+    rng = random.Random(22)
+    n = 64
+    seen, pts = set(), []
+    while len(pts) < n:
+        s = rng.randrange(1, ech.R)
+        if s not in seen:
+            seen.add(s)
+            pts.append(ech.g1_mul(ech.G1, s))
+    pts[3] = None
+    scalars = [rng.randrange(ech.R) for _ in range(n)]
+    scalars[5] = 0
+    px, py, pinf = bn254.pack_affine(pts)
+    sd = f.pack_ints(scalars)
+    got = pip.msm_packed(jnp.asarray(px), jnp.asarray(py), jnp.asarray(pinf),
+                         jnp.asarray(sd))
+    assert got == ech.g1_msm(pts, scalars)
+
+
 def test_pallas_kernels_interpret_mode():
     rng = random.Random(9)
     B = lp.BLOCK

@@ -148,6 +148,11 @@ def _signed_keys(scalar_digits, c: int):
     return jnp.stack(keys), jnp.stack(negs)
 
 
+@functools.lru_cache(maxsize=None)
+def _signed_keys_jit(c: int):
+    return jax.jit(lambda s: jax.vmap(lambda x: _signed_keys(x, c))(s))
+
+
 def _sub_schedule_signed(n_windows: int, c: int, s_base: int | None = None,
                          ) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """Per-window (sub-accumulator counts, bucket-lane caps) for signed
@@ -421,14 +426,14 @@ def _window_sums(buckets, n_buckets: int):
 
 def _signed_window_bits() -> int | None:
     """Signed-window size for the lazy path, or None for unsigned windows.
-    PAILLIER_TPU_MSM_SIGNED=<c> forces (0 disables); default c=12 on the
-    lazy (TPU) path — measured best at 2^20, ~1.6x fewer bucket adds than
-    unsigned c=8."""
+    PAILLIER_TPU_MSM_SIGNED=<c> forces (0 disables); default c=11 on the
+    lazy (TPU) path — measured best at 2^20 on v5e (350.7k pts/s vs 304k
+    for unsigned c=8; c=12/13 regress on round-count vs lane-width)."""
     env = os.environ.get("PAILLIER_TPU_MSM_SIGNED")
     if env is not None:
         c = int(env)
         return c if c > 0 else None
-    return 12 if _use_lazy() else None
+    return 11 if _use_lazy() else None
 
 
 def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -> list[ech.Point]:
@@ -445,8 +450,9 @@ def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -
     n_polys = sd.shape[0]
     c_signed = _signed_window_bits()
     if c_signed is not None:
-        kn = jax.vmap(lambda s: _signed_keys(s, c_signed))(sd)  # (P, W, N) x2
-        keys, negs = kn
+        # jitted recode (cached per c): ~150 small ops that would otherwise
+        # dispatch eagerly one by one (~1s over the axon tunnel at 2^20)
+        keys, negs = _signed_keys_jit(c_signed)(sd)  # (P, W, N) x2
         n_windows = keys.shape[1]
         keys = keys.reshape(n_polys * n_windows, -1)
         negs = negs.reshape(n_polys * n_windows, -1)

@@ -424,16 +424,28 @@ def _window_sums(buckets, n_buckets: int):
     return tuple(c[:, :, 0] for c in t)
 
 
-def _signed_window_bits() -> int | None:
+def _signed_window_bits(n: int) -> int | None:
     """Signed-window size for the lazy path, or None for unsigned windows.
-    PAILLIER_TPU_MSM_SIGNED=<c> forces (0 disables); default c=11 on the
-    lazy (TPU) path — measured best at 2^20 on v5e (350.7k pts/s vs 304k
-    for unsigned c=8; c=12/13 regress on round-count vs lane-width)."""
+    PAILLIER_TPU_MSM_SIGNED=<c> forces (0 disables). Default on the lazy
+    (TPU) path scales with the point count: c=11 measured best at 2^20 on
+    v5e (589.9k pts/s vs 304k unsigned c=8); smaller MSMs (the prover's
+    per-column commits) shrink c so bucket-lane state stays proportional
+    to the work."""
     env = os.environ.get("PAILLIER_TPU_MSM_SIGNED")
     if env is not None:
         c = int(env)
         return c if c > 0 else None
-    return 11 if _use_lazy() else None
+    if not _use_lazy():
+        return None
+    if n >= (1 << 19):
+        return 11
+    if n >= (1 << 16):
+        return 9
+    return 8
+
+
+def _lanes_per_poly(subs, bcaps) -> int:
+    return sum(s * b for s, b in zip(subs, bcaps))
 
 
 def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -> list[ech.Point]:
@@ -448,16 +460,29 @@ def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -
     sd = jnp.asarray(scalar_digits_multi)
     assert sd.ndim == 3
     n_polys = sd.shape[0]
-    c_signed = _signed_window_bits()
+    c_signed = _signed_window_bits(sd.shape[2])
     if c_signed is not None:
+        n_windows = -(-256 // c_signed)
+        n_buckets = (1 << (c_signed - 1)) + 1
+        subs, bcaps = _sub_schedule_signed(n_windows, c_signed)
+        # bound bucket-lane memory: a prover phase commits dozens of
+        # columns at once, and lane state (3 x 32 x int16 + canonicalize
+        # transients) must not scale with the column count unchecked
+        max_lanes = int(os.environ.get("PAILLIER_TPU_MSM_MAX_LANES", str(1 << 21)))
+        per_poly = _lanes_per_poly(subs, bcaps)
+        group = max(1, min(n_polys, max_lanes // max(per_poly, 1)))
+        if group < n_polys:
+            out = []
+            for i in range(0, n_polys, group):
+                out.extend(
+                    msm_packed_multi(px, py, p_inf, sd[i : i + group], window_bits)
+                )
+            return out
         # jitted recode (cached per c): ~150 small ops that would otherwise
         # dispatch eagerly one by one (~1s over the axon tunnel at 2^20)
         keys, negs = _signed_keys_jit(c_signed)(sd)  # (P, W, N) x2
-        n_windows = keys.shape[1]
         keys = keys.reshape(n_polys * n_windows, -1)
         negs = negs.reshape(n_polys * n_windows, -1)
-        n_buckets = (1 << (c_signed - 1)) + 1
-        subs, bcaps = _sub_schedule_signed(n_windows, c_signed)
         buckets = _bucket_impl(
             jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf),
             keys, negs, n_buckets, subs * n_polys, bcaps * n_polys,

@@ -467,15 +467,30 @@ def msm_packed_multi(px, py, p_inf, scalar_digits_multi, window_bits: int = 8) -
         subs, bcaps = _sub_schedule_signed(n_windows, c_signed)
         # bound bucket-lane memory: a prover phase commits dozens of
         # columns at once, and lane state (3 x 32 x int16 + canonicalize
-        # transients) must not scale with the column count unchecked
+        # transients) must not scale with the column count unchecked.
+        # Multi-poly batches are PADDED to one canonical group size with
+        # zero-scalar polys (dead bucket 0 only), so every prover phase —
+        # advice, lookup, permutation, quotient — reuses ONE compiled
+        # bucket graph per point count instead of one per column count
+        # (Mosaic compiles are not persistently cached over the axon
+        # remote-compile path; distinct shapes cost ~50 s each, cold).
         max_lanes = int(os.environ.get("PAILLIER_TPU_MSM_MAX_LANES", str(1 << 21)))
         per_poly = _lanes_per_poly(subs, bcaps)
-        group = max(1, min(n_polys, max_lanes // max(per_poly, 1)))
-        if group < n_polys:
+        group = max(1, min(int(os.environ.get("PAILLIER_TPU_MSM_GROUP", "8")),
+                           max_lanes // max(per_poly, 1)))
+        if n_polys > 1 and n_polys != group:
             out = []
             for i in range(0, n_polys, group):
+                chunk = sd[i : i + group]
+                pad = group - chunk.shape[0]
+                if pad:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                    )
                 out.extend(
-                    msm_packed_multi(px, py, p_inf, sd[i : i + group], window_bits)
+                    msm_packed_multi(px, py, p_inf, chunk, window_bits)[
+                        : group - pad
+                    ]
                 )
             return out
         # jitted recode (cached per c): ~150 small ops that would otherwise

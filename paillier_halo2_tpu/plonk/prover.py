@@ -194,49 +194,73 @@ def _create_proof_inner(
         return pk.fixed_const_values
 
     npc = vk.n_perm_cols
-    perm_col_dev = ops.to_device_mont(np.stack([perm_col_values(j) for j in range(npc)]))
-    id_dev = ops.to_device_mont(pk.id_values)
-    sig_dev = ops.to_device_mont(pk.sigma_values)
-
     active_mask = np.zeros(n, dtype=bool)
     active_mask[:usable] = True
     act_dev = jnp.asarray(active_mask)
     b3 = beta_m[:, None, :]
     g3 = gamma_m[:, None, :]
 
-    _mark("perm inputs packed")
-    num_f = f.add(SPEC, perm_col_dev, f.add(SPEC, f.mont_mul(SPEC, b3, id_dev), g3))
-    den_f = f.add(SPEC, perm_col_dev, f.add(SPEC, f.mont_mul(SPEC, b3, sig_dev), g3))
+    # Processed in slabs of PERM_GROUP chunks: materializing every
+    # permutation column's numerator/denominator/inverse at once peaks at
+    # ~8x the resident column data and OOM'd HBM at k=17 with ~50 advice
+    # columns (round-3 config-4 run). The per-chunk grand products are
+    # independent except for the scalar chain starts, so slab transients
+    # cap memory while values (and transcript bytes) stay identical.
     n_chunks = len(vk.perm_chunks)
-    pc = n_chunks * 2 - npc  # columns of padding to even chunks (PERM_CHUNK=2)
-    if pc:
-        pad_ones = jnp.broadcast_to(one_m[:, None, :], (32, pc, n))
-        num_f = jnp.concatenate([num_f, pad_ones], axis=1)
-        den_f = jnp.concatenate([den_f, pad_ones], axis=1)
-    num_c = f.mont_mul(SPEC, num_f[:, 0::2], num_f[:, 1::2])  # (D, C, n)
-    den_c = f.mont_mul(SPEC, den_f[:, 0::2], den_f[:, 1::2])
-    frac = f.mont_mul(SPEC, num_c, ops.batch_inverse(den_c))
-    frac = jnp.where(act_dev[None, None, :], frac, jnp.broadcast_to(one_m[:, None, :], frac.shape))
-    pref = ops.prefix_product(frac)  # (D, C, n) inclusive along rows
-    ends = ops.from_device_mont(pref[:, :, usable - 1 : usable])
+    GROUP = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", "8"))
+    _mark("perm inputs packed")
+    pref_slabs = []
+    ends: list[int] = []
+    for c0 in range(0, n_chunks, GROUP):
+        c1 = min(c0 + GROUP, n_chunks)
+        cols = list(range(2 * c0, min(2 * c1, npc)))
+        pcd = ops.to_device_mont(np.stack([perm_col_values(j) for j in cols]))
+        idd = ops.to_device_mont(pk.id_values[cols])
+        sgd = ops.to_device_mont(pk.sigma_values[cols])
+        num_f = f.add(SPEC, pcd, f.add(SPEC, f.mont_mul(SPEC, b3, idd), g3))
+        den_f = f.add(SPEC, pcd, f.add(SPEC, f.mont_mul(SPEC, b3, sgd), g3))
+        pc = (c1 - c0) * 2 - len(cols)  # pad to even chunks (PERM_CHUNK=2)
+        if pc:
+            pad_ones = jnp.broadcast_to(one_m[:, None, :], (32, pc, n))
+            num_f = jnp.concatenate([num_f, pad_ones], axis=1)
+            den_f = jnp.concatenate([den_f, pad_ones], axis=1)
+        num_c = f.mont_mul(SPEC, num_f[:, 0::2], num_f[:, 1::2])  # (D, C, n)
+        den_c = f.mont_mul(SPEC, den_f[:, 0::2], den_f[:, 1::2])
+        frac = f.mont_mul(SPEC, num_c, ops.batch_inverse(den_c))
+        frac = jnp.where(
+            act_dev[None, None, :], frac, jnp.broadcast_to(one_m[:, None, :], frac.shape)
+        )
+        pref = ops.prefix_product(frac)  # (D, C, n) inclusive along rows
+        pref_slabs.append(pref)
+        ends.extend(ops.from_device_mont(pref[:, :, usable - 1 : usable]))
     starts = [1]
     for e in ends:
         starts.append(starts[-1] * e % P)
     assert starts[-1] == 1, "permutation product does not close (copy constraints unsatisfied?)"
-    start_m = jnp.asarray(f.pack_ints([s * SPEC.r_mod_p % P for s in starts[:-1]]))[:, :, None]
-    shifted = jnp.concatenate(
-        [jnp.broadcast_to(one_m[:, None, :], (32, n_chunks, 1)), pref[:, :, :-1]], axis=2
-    )
-    z_all = f.mont_mul(SPEC, shifted, start_m)  # (D, C, n); z[c, usable] = end_c*start_c
     zp_blind = np.empty((n_chunks, n - usable - 1), dtype=object)
     for c in range(n_chunks):
         for r in range(usable + 1, n):
             h = hashlib.blake2b(blinding_seed + b"zp%d" % c + r.to_bytes(4, "little")).digest()
             zp_blind[c, r - usable - 1] = int.from_bytes(h, "little") % P
-    z_all = z_all.at[:, :, usable + 1 :].set(ops.to_device_mont(zp_blind))
+    zp_parts = []
+    for si, c0 in enumerate(range(0, n_chunks, GROUP)):
+        c1 = min(c0 + GROUP, n_chunks)
+        pref = pref_slabs[si]
+        start_m = jnp.asarray(
+            f.pack_ints([s * SPEC.r_mod_p % P for s in starts[c0:c1]])
+        )[:, :, None]
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(one_m[:, None, :], (32, c1 - c0, 1)), pref[:, :, :-1]],
+            axis=2,
+        )
+        z_slab = f.mont_mul(SPEC, shifted, start_m)  # z[c, usable] = end_c*start_c
+        z_slab = z_slab.at[:, :, usable + 1 :].set(
+            ops.to_device_mont(zp_blind[c0:c1])
+        )
+        zp_parts.append(ops.coeffs_of(z_slab, k))
     _mark("perm Z computed")
 
-    zp_stack = ops.coeffs_of(z_all, k)
+    zp_stack = zp_parts[0] if len(zp_parts) == 1 else jnp.concatenate(zp_parts, axis=1)
     zp_coeffs = [zp_stack[:, c] for c in range(n_chunks)]
 
     # ---- 4. lookup grand products (batched over lookup columns) -----------
@@ -300,13 +324,20 @@ def _create_proof_inner(
         ym = jnp.asarray(f.pack_ints([pow(y, m, P) * SPEC.r_mod_p % P]))
         acc = f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
 
-    # 1. gates: q_c * (a + a(w) a(w2) - a(w3)) for every advice column
-    q_ext = ext(jnp.stack(pk.q_coeffs, axis=1))  # (D, na, n_ext)
-    a_ext = ext(jnp.stack(adv_coeffs, axis=1))
-    gate = f.add(SPEC, a_ext, f.mont_mul(SPEC, rot(a_ext, 1), rot(a_ext, 2)))
-    gate = f.sub(SPEC, gate, rot(a_ext, 3))
-    emit_many(f.mont_mul(SPEC, q_ext, gate))
-    del q_ext, a_ext, gate
+    # 1. gates: q_c * (a + a(w) a(w2) - a(w3)) for every advice column.
+    # Sliced into column slabs: the whole-width (D, na, n_ext) stacks peak
+    # at several GB at k=17 with ~50 columns (round-3 config-4 OOM); the
+    # per-column constraint is column-local and emit_many is
+    # order-preserving across sequential calls, so slabs change nothing.
+    QG = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", "16"))
+    for a0 in range(0, na, QG):
+        a1 = min(a0 + QG, na)
+        q_ext = ext(jnp.stack(pk.q_coeffs[a0:a1], axis=1))  # (D, g, n_ext)
+        a_ext = ext(jnp.stack(adv_coeffs[a0:a1], axis=1))
+        gate = f.add(SPEC, a_ext, f.mont_mul(SPEC, rot(a_ext, 1), rot(a_ext, 2)))
+        gate = f.sub(SPEC, gate, rot(a_ext, 3))
+        emit_many(f.mont_mul(SPEC, q_ext, gate))
+        del q_ext, a_ext, gate
 
     _mark("gate constraints emitted")
     l0_ext = ext(pk.l0_coeffs)
@@ -320,22 +351,27 @@ def _create_proof_inner(
     # 2. l_0 * (Z_0 - 1)
     emit_many(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[:, 0], one_ext))[:, None])
     # 3. chunk updates: active * [Z(wX) prod(col+b*sig+g) - Z prod(col+b*id+g)]
-    id_coeffs_stack = ops.coeffs_of(id_dev, k)
-    perm_col_coeffs_stack = ops.coeffs_of(perm_col_dev, k)
-    col_e = ext(perm_col_coeffs_stack)  # (D, npc, n_ext)
-    sig_e = ext(jnp.stack(pk.sigma_coeffs, axis=1))
-    id_e = ext(id_coeffs_stack)
-    fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
-    fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
-    del col_e, sig_e, id_e
-    if pc:  # pad odd column count with multiplicative-identity factors
-        ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pc, n_ext))
-        fs = jnp.concatenate([fs, ones_pad], axis=1)
-        fi = jnp.concatenate([fi, ones_pad], axis=1)
-    lhs = f.mont_mul(SPEC, rot(zp_ext, 1), f.mont_mul(SPEC, fs[:, 0::2], fs[:, 1::2]))
-    rhs = f.mont_mul(SPEC, zp_ext, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
-    emit_many(f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs)))
-    del fs, fi, lhs, rhs
+    # — same chunk slabs as phase 3 above (whole-width n_ext stacks OOM).
+    for c0 in range(0, n_chunks, GROUP):
+        c1 = min(c0 + GROUP, n_chunks)
+        cols = list(range(2 * c0, min(2 * c1, npc)))
+        col_e = ext(ops.coeffs_of(
+            ops.to_device_mont(np.stack([perm_col_values(j) for j in cols])), k))
+        id_e = ext(ops.coeffs_of(ops.to_device_mont(pk.id_values[cols]), k))
+        sig_e = ext(jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1))
+        fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
+        fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
+        del col_e, sig_e, id_e
+        pcs = (c1 - c0) * 2 - len(cols)
+        if pcs:  # pad odd column count with multiplicative-identity factors
+            ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pcs, n_ext))
+            fs = jnp.concatenate([fs, ones_pad], axis=1)
+            fi = jnp.concatenate([fi, ones_pad], axis=1)
+        zslab = zp_ext[:, c0:c1]
+        lhs = f.mont_mul(SPEC, rot(zslab, 1), f.mont_mul(SPEC, fs[:, 0::2], fs[:, 1::2]))
+        rhs = f.mont_mul(SPEC, zslab, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
+        emit_many(f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs)))
+        del fs, fi, lhs, rhs
     # 4. chains: l_0 * (Z_i - Z_{i-1}(w^u X))
     if len(vk.perm_chunks) > 1:
         chain = f.sub(SPEC, zp_ext[:, 1:], rot(zp_ext[:, :-1], usable))

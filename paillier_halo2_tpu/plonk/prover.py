@@ -207,7 +207,7 @@ def _create_proof_inner(
     # independent except for the scalar chain starts, so slab transients
     # cap memory while values (and transcript bytes) stay identical.
     n_chunks = len(vk.perm_chunks)
-    GROUP = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", "8"))
+    GROUP = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", "4"))
     _mark("perm inputs packed")
     pref_slabs = []
     ends: list[int] = []
@@ -289,6 +289,10 @@ def _create_proof_inner(
         zl_all = shifted_l.at[:, :, usable + 1 :].set(ops.to_device_mont(zl_blind))
         zl_stack = ops.coeffs_of(zl_all, k)
         zl_coeffs = [zl_stack[:, i] for i in range(nl)]
+        # free the value-form lookup temporaries: locals stay referenced to
+        # the end of the function otherwise, holding ~6 (D, nl, n) arrays
+        # through the HBM-peak quotient phase
+        del num_l, den_l, frac_l, pref_l, shifted_l, zl_all, ap_dev, sp_dev, lk_dev
     else:
         zl_coeffs = []
 
@@ -305,8 +309,20 @@ def _create_proof_inner(
     # NTT over a (D, group, n) stack and one fused y-Horner fold
     # (sum_i C_i * y^{m-1-i} via a tree-sum), preserving the exact emission
     # order of the docstring / verifier.
+    QG = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", "8"))
+
     def ext(coeffs):
-        return ops.extended_coset_evals(coeffs, k, k_ext)
+        """Extended-coset evals; multi-column stacks run through the NTT in
+        slabs — the batched 2^(k+2) NTT's transients peak at ~20x the data
+        (the 16-enc k=17 run requested 38 GB for one (D, 28, n_ext) call),
+        while the RESULTS are modest. Values are identical."""
+        if coeffs.ndim == 2 or coeffs.shape[1] <= QG:
+            return ops.extended_coset_evals(coeffs, k, k_ext)
+        parts = [
+            ops.extended_coset_evals(coeffs[:, c0 : c0 + QG], k, k_ext)
+            for c0 in range(0, coeffs.shape[1], QG)
+        ]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
     def rot(e, s):
         return jnp.roll(e, -s * rate, axis=-1)
@@ -329,7 +345,6 @@ def _create_proof_inner(
     # at several GB at k=17 with ~50 columns (round-3 config-4 OOM); the
     # per-column constraint is column-local and emit_many is
     # order-preserving across sequential calls, so slabs change nothing.
-    QG = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", "16"))
     for a0 in range(0, na, QG):
         a1 = min(a0 + QG, na)
         q_ext = ext(jnp.stack(pk.q_coeffs[a0:a1], axis=1))  # (D, g, n_ext)
@@ -372,9 +387,13 @@ def _create_proof_inner(
         rhs = f.mont_mul(SPEC, zslab, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
         emit_many(f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs)))
         del fs, fi, lhs, rhs
-    # 4. chains: l_0 * (Z_i - Z_{i-1}(w^u X))
-    if len(vk.perm_chunks) > 1:
-        chain = f.sub(SPEC, zp_ext[:, 1:], rot(zp_ext[:, :-1], usable))
+    # 4. chains: l_0 * (Z_i - Z_{i-1}(w^u X)) — slabbed like (3); each chain
+    # term only touches adjacent chunks
+    for c0 in range(0, n_chunks - 1, GROUP):
+        c1 = min(c0 + GROUP, n_chunks - 1)
+        chain = f.sub(
+            SPEC, zp_ext[:, c0 + 1 : c1 + 1], rot(zp_ext[:, c0:c1], usable)
+        )
         emit_many(f.mont_mul(SPEC, l0_ext[:, None], chain))
         del chain
     # 5. closing: l_u * (Z_last - 1)
@@ -383,34 +402,40 @@ def _create_proof_inner(
 
     _mark("perm constraints emitted")
     # 6. lookups: per column, constraints (a..e) in order, columns outermost
+    # — slabbed over lookup columns (5 constraints per column; emission
+    # order within and across emit_many calls is unchanged)
     if nl:
         table_ext = ext(pk.table_coeffs)
-        zl_ext = ext(zl_stack)  # (D, nl, n_ext)
-        lk_ext = ext(jnp.stack(lk_coeffs, axis=1))
-        ap_ext = ext(jnp.stack(ap_coeffs, axis=1))
-        sp_ext = ext(jnp.stack(sp_coeffs, axis=1))
-        ca = f.mont_mul(SPEC, l0_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
-        cb = f.mont_mul(SPEC, lu_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
-        lhs_l = f.mont_mul(
-            SPEC,
-            rot(zl_ext, 1),
-            f.mont_mul(SPEC, f.add(SPEC, ap_ext, b3), f.add(SPEC, sp_ext, g3)),
-        )
-        rhs_l = f.mont_mul(
-            SPEC,
-            zl_ext,
-            f.mont_mul(
-                SPEC, f.add(SPEC, lk_ext, b3), f.add(SPEC, table_ext[:, None], g3)
-            ),
-        )
-        cc = f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs_l, rhs_l))
-        d1 = f.sub(SPEC, ap_ext, sp_ext)
-        d2 = f.sub(SPEC, ap_ext, rot(ap_ext, -1))
-        cd = f.mont_mul(SPEC, act_ext[:, None], f.mont_mul(SPEC, d1, d2))
-        ce = f.mont_mul(SPEC, l0_ext[:, None], d1)
-        lk_stack5 = jnp.stack([ca, cb, cc, cd, ce], axis=2)  # (D, nl, 5, n_ext)
-        emit_many(lk_stack5.reshape(32, nl * 5, n_ext))
-        del table_ext, zl_ext, lk_ext, ap_ext, sp_ext, ca, cb, cc, cd, ce, lk_stack5
+        LG = max(1, QG // 4)
+        for i0 in range(0, nl, LG):
+            i1 = min(i0 + LG, nl)
+            zl_ext = ext(zl_stack[:, i0:i1])  # (D, g, n_ext)
+            lk_ext = ext(jnp.stack(lk_coeffs[i0:i1], axis=1))
+            ap_ext = ext(jnp.stack(ap_coeffs[i0:i1], axis=1))
+            sp_ext = ext(jnp.stack(sp_coeffs[i0:i1], axis=1))
+            ca = f.mont_mul(SPEC, l0_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+            cb = f.mont_mul(SPEC, lu_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+            lhs_l = f.mont_mul(
+                SPEC,
+                rot(zl_ext, 1),
+                f.mont_mul(SPEC, f.add(SPEC, ap_ext, b3), f.add(SPEC, sp_ext, g3)),
+            )
+            rhs_l = f.mont_mul(
+                SPEC,
+                zl_ext,
+                f.mont_mul(
+                    SPEC, f.add(SPEC, lk_ext, b3), f.add(SPEC, table_ext[:, None], g3)
+                ),
+            )
+            cc = f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs_l, rhs_l))
+            d1 = f.sub(SPEC, ap_ext, sp_ext)
+            d2 = f.sub(SPEC, ap_ext, rot(ap_ext, -1))
+            cd = f.mont_mul(SPEC, act_ext[:, None], f.mont_mul(SPEC, d1, d2))
+            ce = f.mont_mul(SPEC, l0_ext[:, None], d1)
+            lk_stack5 = jnp.stack([ca, cb, cc, cd, ce], axis=2)  # (D, g, 5, n_ext)
+            emit_many(lk_stack5.reshape(32, (i1 - i0) * 5, n_ext))
+            del zl_ext, lk_ext, ap_ext, sp_ext, ca, cb, cc, cd, ce, lk_stack5
+        del table_ext
 
     # divide by Z_H on the coset
     g_coset = host.FR_GENERATOR

@@ -24,7 +24,12 @@ from ..ff import field_jax as f
 from ..ff.host import FR_MOD
 from ..ff.limbs import N_DIGITS
 
-PARAMS_DIR = os.environ.get("PAILLIER_TPU_PARAMS", os.path.join(os.getcwd(), "params"))
+# anchored at the repo root (not cwd): the driver invokes bench/tests from
+# arbitrary working directories and must still hit the same SRS cache
+PARAMS_DIR = os.environ.get(
+    "PAILLIER_TPU_PARAMS",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "params"),
+)
 
 
 @dataclasses.dataclass

@@ -6,43 +6,40 @@ minutes. Enabling the on-disk cache makes repeat runs (tests, benches) start
 hot. Env vars alone are not picked up by this jax build — the config must be
 set programmatically, hence this helper.
 
-The cache directory is keyed by a machine fingerprint (CPU flags + platform):
-XLA:CPU cache entries embed AOT-compiled code whose target machine features
-are NOT part of XLA's cache key, so a cache written on one box poisons runs
-on another ("Loading XLA:CPU AOT result ... doesn't match the machine type
-for execution", seen in the round-2 driver run, which shares this workspace
-across machines). Fingerprinting the directory makes each machine see only
-its own entries.
+Cache entries have very different portability per backend, so the directory
+is split by backend:
+
+- **TPU (axon) executables are host-portable**: they target the TPU, not the
+  host CPU, so one shared `tpu/` dir serves every machine that shares this
+  workspace. This is what keeps the driver's end-of-round bench warm (its
+  round-2 MSM "first call" was 15 s — clearly served from entries written by
+  earlier builder runs on a different host).
+- **XLA:CPU entries embed AOT host code** whose LLVM target features are NOT
+  part of XLA's cache key; an entry written on one box poisons runs on
+  another ("Loading XLA:CPU AOT result ... doesn't match the machine type
+  for execution", seen in the round-2 driver run — and machine-id/hostname
+  fingerprints do NOT discriminate, because the container image bakes them
+  while the VMs' CPUID-derived LLVM tuning, e.g. +prefer-no-gather, still
+  differs). boot_id is unique per VM boot, so a `cpu-<boot>` dir can only be
+  reused by the very boot that wrote it: entries are machine-compatible by
+  construction. Cost: each fresh VM's CPU paths start cold — acceptable; the
+  compile-lean lowerings (utils/lean.py) keep cold starts in minutes.
 """
 from __future__ import annotations
 
 import hashlib
 import os
-import platform
 
 _DEFAULT_BASE = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 
 
-def _machine_fingerprint() -> str:
+def _boot_fingerprint() -> str:
     h = hashlib.blake2b(digest_size=8)
-    h.update(platform.machine().encode())
-    try:
-        with open("/proc/cpuinfo", "rb") as fh:
-            for line in fh:
-                if line.startswith((b"flags", b"model name")):
-                    h.update(line)
-                    break
-            for line in fh:
-                if line.startswith(b"flags"):
-                    h.update(line)
-                    break
-    except OSError:
-        h.update(platform.processor().encode())
-    # cpuinfo flags can match across boxes whose effective LLVM target
-    # features still differ (hypervisors mask amx/avx10 inconsistently) —
-    # the round-2 dryrun hit exactly that ("Machine type used for XLA:CPU
-    # compilation doesn't match"). Key per physical box too.
-    for ident in ("/etc/machine-id", "/proc/sys/kernel/hostname"):
+    for ident in (
+        "/proc/sys/kernel/random/boot_id",
+        "/etc/machine-id",
+        "/proc/sys/kernel/hostname",
+    ):
         try:
             with open(ident, "rb") as fh:
                 h.update(fh.read())
@@ -52,6 +49,9 @@ def _machine_fingerprint() -> str:
 
 
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
+    """Pick the cache dir for the ACTIVE backend — call only after the
+    intended platform is decided (tests/dryrun force CPU first; the bench
+    runs on the axon TPU plugin)."""
     import jax
 
     if os.environ.get("PAILLIER_TPU_NO_CACHE"):
@@ -60,7 +60,29 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
     base = os.path.abspath(
         cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_BASE
     )
-    path = os.path.join(base, _machine_fingerprint())
+    try:
+        on_cpu = jax.default_backend() == "cpu"
+    except Exception:
+        on_cpu = True
+    if on_cpu:
+        path = os.path.join(base, f"cpu-{_boot_fingerprint()}")
+        # drop CPU dirs from previous boots: their AOT host code is useless
+        # (possibly SIGILL-dangerous) here, and the workspace persists across
+        # VMs — without this the cache also grows forever. Never touches the
+        # shared portable tpu/ dir.
+        try:
+            for d in os.listdir(base):
+                full = os.path.join(base, d)
+                # "cpu-*" from other boots, plus legacy un-prefixed
+                # fingerprint dirs from rounds 1-3 (all CPU-poisonable)
+                if d != "tpu" and full != path and os.path.isdir(full):
+                    import shutil
+
+                    shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    else:
+        path = os.path.join(base, "tpu")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

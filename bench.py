@@ -283,9 +283,15 @@ def main():
                 proof = create_proof(pk, table)
                 t_cold = time.monotonic() - t0
                 log(f"cold proof: {t_cold:.1f}s")
+                from paillier_halo2_tpu.poly import ops as _ops
+
+                _ops.reset_transfer_counts()
                 t0 = time.monotonic()
                 proof = create_proof(pk, table)
                 t_proof = time.monotonic() - t0
+                extras["host_syncs_per_proof"] = (
+                    _ops.TRANSFER_COUNTS["h2d"] + _ops.TRANSFER_COUNTS["d2h"]
+                )
                 t0 = time.monotonic()
                 ok = verify_proof(pk.vk, srs_p, proof)
                 t_verify = time.monotonic() - t0

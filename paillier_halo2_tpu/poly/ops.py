@@ -101,11 +101,25 @@ def unpack_values(arr) -> list[int]:
     return [int.from_bytes(a[i * 32 : (i + 1) * 32], "little") for i in range(len(a) // 32)]
 
 
+# host<->device transfer counters: the prover's transcript plumbing is the
+# main per-proof dispatch-latency cost over the axon tunnel, so the sync
+# count is a tracked metric (bench.py reports host_syncs_per_proof)
+TRANSFER_COUNTS = {"h2d": 0, "d2h": 0}
+
+
+def reset_transfer_counts() -> dict:
+    prev = dict(TRANSFER_COUNTS)
+    TRANSFER_COUNTS["h2d"] = TRANSFER_COUNTS["d2h"] = 0
+    return prev
+
+
 def to_device_mont(vals) -> jnp.ndarray:
+    TRANSFER_COUNTS["h2d"] += 1
     return f.to_mont(SPEC, jnp.asarray(pack_values(vals)))
 
 
 def from_device_mont(arr) -> list[int]:
+    TRANSFER_COUNTS["d2h"] += 1
     return unpack_values(np.asarray(f.from_mont(SPEC, arr)))
 
 

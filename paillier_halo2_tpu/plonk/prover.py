@@ -77,6 +77,23 @@ def _permuted_lookup(a_active: np.ndarray, lookup_bits: int, usable: int):
     return a_sorted, s_sorted
 
 
+def _slab_sizes(n_ext: int) -> tuple[int, int]:
+    """Column-slab widths for the prover's wide phases, sized from the actual
+    HBM footprint instead of fixed constants. The k=17/~50-column config-4
+    run OOM'd un-slabbed (the batched extended NTT's transients peak at ~20x
+    its input; the perm fraction/inverse phase at ~8x), but at k<=15 every
+    phase fits whole — and slabbing there costs real time (k=14 warm proof:
+    23s un-slabbed vs 82s with the k=17 slab constants). Overridable via
+    PAILLIER_TPU_PERM_GROUP / PAILLIER_TPU_QUOT_GROUP."""
+    col_ext_bytes = 32 * 4 * n_ext  # one column, extended domain, uint32 digits
+    hbm = float(os.environ.get("PAILLIER_TPU_HBM_GB", "12")) * (1 << 30)
+    qg = max(1, int(hbm / (20 * col_ext_bytes)))
+    group = max(1, int(0.7 * hbm / (16 * col_ext_bytes)))
+    qg = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", qg))
+    group = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", group))
+    return group, qg
+
+
 class _Evaluator:
     """Caches device power vectors per opening point."""
 
@@ -207,7 +224,7 @@ def _create_proof_inner(
     # independent except for the scalar chain starts, so slab transients
     # cap memory while values (and transcript bytes) stay identical.
     n_chunks = len(vk.perm_chunks)
-    GROUP = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", "4"))
+    GROUP, QG = _slab_sizes(n_ext)
     _mark("perm inputs packed")
     pref_slabs = []
     ends: list[int] = []
@@ -309,8 +326,6 @@ def _create_proof_inner(
     # NTT over a (D, group, n) stack and one fused y-Horner fold
     # (sum_i C_i * y^{m-1-i} via a tree-sum), preserving the exact emission
     # order of the docstring / verifier.
-    QG = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", "8"))
-
     def ext(coeffs):
         """Extended-coset evals; multi-column stacks run through the NTT in
         slabs — the batched 2^(k+2) NTT's transients peak at ~20x the data

@@ -120,16 +120,22 @@ def main():
                 r = mm(r, b)
             sync(r)
             mulmod_per_s = N * reps / (time.monotonic() - t0)
-            # HBM-bound ceiling: 3 x (32 digits x 4 B) per lane at the measured
-            # device bandwidth (v5e spec 819 GB/s; the axon tunnel chip sustains
-            # ~159 GB/s on pure-copy measurements, see PROGRESS notes)
+            # HBM-bound ceiling: 3 x (32 digits x 4 B) per lane. TWO
+            # denominators reported (VERDICT r3 weak #3 — one alone
+            # flatters): the MEASURED device bandwidth over the axon tunnel
+            # (~159 GB/s on pure-copy) and the v5e SPEC bandwidth
+            # (819 GB/s) — the honest speed-of-light figure.
             hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "159"))
+            spec_gbps = float(os.environ.get("BENCH_HBM_SPEC_GBPS", "819"))
             ceiling = hbm_gbps * 1e9 / 384.0
+            ceiling_spec = spec_gbps * 1e9 / 384.0
             extras["mulmod_per_s"] = round(mulmod_per_s, 1)
             extras["mulmod_pct_of_hbm_ceiling"] = round(100 * mulmod_per_s / ceiling, 1)
+            extras["mulmod_pct_of_spec_bw"] = round(100 * mulmod_per_s / ceiling_spec, 1)
             log(
                 f"mulmod throughput: {mulmod_per_s/1e6:.1f} M/s "
-                f"({extras['mulmod_pct_of_hbm_ceiling']}% of HBM-bound ceiling)"
+                f"({extras['mulmod_pct_of_hbm_ceiling']}% of measured-BW ceiling, "
+                f"{extras['mulmod_pct_of_spec_bw']}% of v5e spec-BW)"
             )
 
     except PhaseTimeout as e:
@@ -157,14 +163,20 @@ def main():
                 sync(r)
                 lazy_per_s = N * reps / (time.monotonic() - t0)
                 hbm_gbps = float(os.environ.get("BENCH_HBM_GBPS", "159"))
+                spec_gbps = float(os.environ.get("BENCH_HBM_SPEC_GBPS", "819"))
                 lc = hbm_gbps * 1e9 / 192.0
+                lc_spec = spec_gbps * 1e9 / 192.0
                 extras["mulmod_lazy_per_s"] = round(lazy_per_s, 1)
                 extras["mulmod_lazy_pct_of_hbm_ceiling"] = round(
                     100 * lazy_per_s / lc, 1
                 )
+                extras["mulmod_lazy_pct_of_spec_bw"] = round(
+                    100 * lazy_per_s / lc_spec, 1
+                )
                 log(
                     f"lazy mulmod (int16): {lazy_per_s/1e6:.1f} M/s "
-                    f"({extras['mulmod_lazy_pct_of_hbm_ceiling']}% of ceiling)"
+                    f"({extras['mulmod_lazy_pct_of_hbm_ceiling']}% of measured "
+                    f"ceiling, {extras['mulmod_lazy_pct_of_spec_bw']}% of spec-BW)"
                 )
         except PhaseTimeout as e:
             log(f"** phase timed out: {e}")
@@ -289,6 +301,13 @@ def main():
                 t0 = time.monotonic()
                 proof = create_proof(pk, table)
                 t_proof = time.monotonic() - t0
+                # Transfer-count semantics (ADVICE r3): these count the
+                # prover's mont-pack transfers through to_device_mont /
+                # from_device_mont. Only d2h readbacks are true blocking
+                # syncs; h2d are enqueues. Reported separately plus the
+                # legacy combined figure.
+                extras["h2d_per_proof"] = _ops.TRANSFER_COUNTS["h2d"]
+                extras["d2h_per_proof"] = _ops.TRANSFER_COUNTS["d2h"]
                 extras["host_syncs_per_proof"] = (
                     _ops.TRANSFER_COUNTS["h2d"] + _ops.TRANSFER_COUNTS["d2h"]
                 )
@@ -314,6 +333,28 @@ def main():
         except PhaseTimeout as e:
             log(f"** phase timed out: {e}")
             extras["proof_timeout"] = True
+
+    # ---- CPU proxy ratio (reference-class same-machine baseline) ----------
+    # bench_cpu_proxy.py runs the identical k=14 pipeline on CPU with the
+    # native C++ NTT/MSM backend and records its numbers; surface the
+    # TPU/CPU warm-proof ratio when both measurements exist.
+    try:
+        proxy_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "params_fixtures",
+            f"cpu_proxy_k{os.environ.get('BENCH_PROOF_K', '14')}.json",
+        )
+        if os.path.exists(proxy_path) and extras.get("proof_s"):
+            with open(proxy_path) as fh:
+                proxy = json.load(fh)
+            extras["cpu_proxy_proof_s"] = proxy.get("proof_s")
+            extras["cpu_proxy_cpus"] = proxy.get("cpus")
+            if proxy.get("proof_s"):
+                extras["tpu_speedup_vs_cpu_proxy"] = round(
+                    float(proxy["proof_s"]) / float(extras["proof_s"]), 2
+                )
+    except Exception:
+        pass
 
     # ---- vs_baseline: previous round's MSM value --------------------------
     vs = 1.0

@@ -24,11 +24,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def synth_one(ctx, i, lookup_bits=16, enc_bits=128, limb_bits=64, seed=1):
+    """One encryption instance in its own Context (witness-pool shard).
+    TOP-LEVEL (picklable) so synth_parallel can ship it to SPAWN workers —
+    jax is already imported here, so fork workers are off the table and a
+    closure would silently force serial synthesis (round-3 weakness #5)."""
+    import random as _random
+
     from paillier_halo2_tpu.bignum.host import paillier_enc_native
-    from paillier_halo2_tpu.gadgets.context import Context
     from paillier_halo2_tpu.gadgets.range import RangeChip
-    from paillier_halo2_tpu.harness.circuits import PaillierEncryptionInput, paillier_enc_test
+    from paillier_halo2_tpu.harness.circuits import (
+        PaillierEncryptionInput,
+        paillier_enc_test,
+    )
+
+    rc = RangeChip(ctx, lookup_bits)
+    rng = _random.Random(seed + i)
+    n = rng.getrandbits(enc_bits) | (1 << (enc_bits - 1)) | 1
+    g, m, r = (rng.getrandbits(enc_bits) for _ in range(3))
+    inp = PaillierEncryptionInput(
+        enc_bits=enc_bits, limb_bits=limb_bits, n=n, g=g, m=m, r=r,
+        res=paillier_enc_native(n, g, m, r),
+    )
+    paillier_enc_test(ctx, rc, inp)
+
+
+def main():
+    import functools
+
     from paillier_halo2_tpu.plonk.keygen import keygen
     from paillier_halo2_tpu.plonk.prover import create_proof
     from paillier_halo2_tpu.plonk.srs import read_or_create_srs
@@ -41,25 +64,16 @@ def main():
     LIMB = 64 if ENC % 64 == 0 else 88
     log(f"devices: {jax.devices()}; B={B} k={K} lookup={LK} enc={ENC}")
 
-    def synth_one(ctx, i, seed=1):
-        """One encryption instance in its own Context (witness-pool shard)."""
-        rc = RangeChip(ctx, LK)
-        rng = random.Random(seed + i)
-        n = rng.getrandbits(ENC) | (1 << (ENC - 1)) | 1
-        g, m, r = (rng.getrandbits(ENC) for _ in range(3))
-        inp = PaillierEncryptionInput(
-            enc_bits=ENC, limb_bits=LIMB, n=n, g=g, m=m, r=r,
-            res=paillier_enc_native(n, g, m, r),
-        )
-        paillier_enc_test(ctx, rc, inp)
-
     from paillier_halo2_tpu.gadgets.context import SinglePhaseCoreManager
 
     t0 = time.monotonic()
-    table = SinglePhaseCoreManager.synth_parallel(synth_one, B)
+    table = SinglePhaseCoreManager.synth_parallel(
+        functools.partial(synth_one, lookup_bits=LK, enc_bits=ENC, limb_bits=LIMB),
+        B,
+    )
     t_synth = time.monotonic() - t0
     log(f"synthesized {table.n_rows} rows in {t_synth:.1f}s "
-        f"(witness pool, {min(os.cpu_count() or 1, B)} workers)")
+        f"(witness pool, {min(os.cpu_count() or 1, B)} spawn workers)")
 
     srs = read_or_create_srs(K)
     t0 = time.monotonic()

@@ -81,6 +81,7 @@ class Context:
         self._const_idx: list[np.ndarray] = []
         self._const_val: list[np.ndarray] = []
         self._lookup_chunks: list[np.ndarray] = []  # cells tagged for range lookup
+        self._public_chunks: list[np.ndarray] = []  # cells exposed as public inputs
         self._const_cache: dict[int, int] = {}  # value -> canonical cell idx
         self._zero_cell: Cells | None = None
 
@@ -115,6 +116,15 @@ class Context:
         idx = np.asarray(idx, dtype=np.int64)
         if len(idx):
             self._lookup_chunks.append(idx)
+
+    def expose_public(self, cells: "Cells") -> None:
+        """Expose cells as PUBLIC INPUTS (an instance column): their values
+        become part of the statement — the verifier receives them alongside
+        the proof and re-derives the instance evaluation itself, so a proof
+        only verifies against the exact exposed values. Order of exposure =
+        order in the instance column. (halo2's instance columns [dep]; the
+        reference's own tests use none, SURVEY.md section 2.2.)"""
+        self._public_chunks.append(np.asarray(cells.idx, dtype=np.int64))
 
     # -- cell creation -------------------------------------------------------
 
@@ -172,6 +182,7 @@ class Context:
             const_idx=cat(self._const_idx),
             const_val=cat(self._const_val, object),
             lookups=cat(self._lookup_chunks),
+            publics=cat(self._public_chunks),
         )
 
 
@@ -191,10 +202,18 @@ class VirtualTable:
     const_idx: np.ndarray  # int64 (n_consts,)
     const_val: np.ndarray  # object (n_consts,)
     lookups: np.ndarray  # int64 (n_lookups,)
+    # cells exposed as public inputs, in instance-column order (may be empty)
+    publics: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
 
     @property
     def n_rows(self) -> int:
         return len(self.values)
+
+    def public_values(self) -> list[int]:
+        """The statement's public inputs (instance values), in column order."""
+        return [int(self.values[i]) for i in self.publics]
 
 
 def merge_tables(tables: Iterable[VirtualTable]) -> VirtualTable:
@@ -230,6 +249,7 @@ def merge_tables(tables: Iterable[VirtualTable]) -> VirtualTable:
         const_idx=cat("const_idx", rebase=True),
         const_val=cat("const_val", object),
         lookups=cat("lookups", rebase=True),
+        publics=cat("publics", rebase=True),
     )
 
 
@@ -239,6 +259,16 @@ _synth_fn = None  # fork-inherited by _synth_worker (closures need no pickling)
 def _synth_worker(idx):
     ctx = Context()
     _synth_fn(ctx, idx)
+    return ctx.finalize()
+
+
+def _synth_worker_spawn(args):
+    """Spawn-pool worker: fn ships via pickle (must be a top-level callable
+    or a functools.partial of one). The child is a FRESH interpreter — the
+    gadget layer is jax-free, so workers only import numpy."""
+    fn, idx = args
+    ctx = Context()
+    fn(ctx, idx)
     return ctx.finalize()
 
 
@@ -276,9 +306,14 @@ class SinglePhaseCoreManager:
         must not touch jax (pure host-int synthesis).
 
         fork() after JAX initialization is officially unsupported (JAX is
-        multithreaded; a forked child can inherit a held lock), so the pool
-        wait is bounded: on timeout the pool is torn down and synthesis
-        falls back to serial in-process execution — slower, never hung."""
+        multithreaded; a forked child can inherit a held lock), so once jax
+        is imported the pool switches to SPAWN workers instead of going
+        serial (round-3 weakness: every real bench flow imports jax first,
+        which silently disabled the pool). Spawn requires fn to be picklable
+        (a top-level function or functools.partial of one); unpicklable
+        closures fall back to serial. The pool wait is bounded: on timeout
+        the pool is torn down and synthesis falls back to serial in-process
+        execution — slower, never hung."""
         import multiprocessing as mp
         import os
         import sys
@@ -286,21 +321,32 @@ class SinglePhaseCoreManager:
         global _synth_fn
         if n_workers is None:
             n_workers = min(os.cpu_count() or 1, n_instances)
-        if os.environ.get("PAILLIER_TPU_SERIAL_SYNTH") or "jax" in sys.modules:
-            # JAX threads already exist in this process: forking is a
-            # deadlock hazard (it hung the round-2 driver bench). Serial
-            # synthesis is GIL-bound but safe; heavy batch scripts that want
-            # the pool must call this before importing jax.
+        if os.environ.get("PAILLIER_TPU_SERIAL_SYNTH"):
             n_workers = 1
+        use_spawn = "jax" in sys.modules
+        if use_spawn and n_workers > 1:
+            import pickle
+
+            try:
+                pickle.dumps(fn)
+            except Exception:
+                n_workers = 1  # closure: cannot ship to spawn workers
         _synth_fn = fn
         tables = None
         try:
             if n_workers > 1 and n_instances > 1:
-                pool = mp.get_context("fork").Pool(n_workers)
+                ctxm = mp.get_context("spawn" if use_spawn else "fork")
+                pool = ctxm.Pool(n_workers)
                 try:
-                    res = pool.map_async(_synth_worker, range(n_instances))
+                    if use_spawn:
+                        res = pool.map_async(
+                            _synth_worker_spawn,
+                            [(fn, i) for i in range(n_instances)],
+                        )
+                    else:
+                        res = pool.map_async(_synth_worker, range(n_instances))
                     tables = res.get(timeout=120 + 30 * n_instances)
-                except mp.TimeoutError:
+                except Exception:  # TimeoutError, pickling, worker crash
                     tables = None
                 finally:
                     pool.terminate()

@@ -37,23 +37,68 @@ def msm_sharded_multi(
     assert n % d == 0, "pad point count to a multiple of the mesh size"
     axes = mesh.axis_names  # 1D ("x",) or 2D ("host", "chip")
     n_polys = sd.shape[0]
-    keys = jax.vmap(lambda s: pip._keys_from_digits(s, window_bits))(sd)  # (P, W, N)
-    n_windows = keys.shape[1]
-    keys = keys.reshape(n_polys * n_windows, -1)
-    subs = pip._sub_schedule(n_windows, window_bits) * n_polys  # row = p*W + w
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes)),
-        out_specs=P(None, axes, None, None, None),
-        check_vma=False,
-    )
-    def local_buckets(lpx, lpy, lpinf, lkeys):
-        acc = pip._bucket_accumulate(lpx, lpy, lpinf, lkeys, window_bits, subs)
-        return jnp.stack(acc)[:, None]  # (3, 1, 32, P*W, B) per device
+    # Signed/lazy bucket path on accelerators (round 4: previously the
+    # entire round-3 MSM speedup — signed c-bit windows + lazy int16
+    # accumulators — was single-chip only). Sized by the PER-CHIP point
+    # count; CPU virtual meshes keep the canonical unsigned kernels.
+    c_signed = pip._signed_window_bits(n // d)
+    if c_signed is not None:
+        n_windows = -(-256 // c_signed)
+        n_buckets = (1 << (c_signed - 1)) + 1
+        subs, bcaps = pip._sub_schedule_signed(n_windows, c_signed)
+        keys, negs = pip._signed_keys_jit(c_signed)(sd)  # (P, W, N) x2
+        keys = keys.reshape(n_polys * n_windows, -1)
+        negs = negs.reshape(n_polys * n_windows, -1)
+        shift = c_signed
+    else:
+        keys = jax.vmap(lambda s: pip._keys_from_digits(s, window_bits))(sd)
+        n_windows = keys.shape[1]
+        keys = keys.reshape(n_polys * n_windows, -1)
+        negs = None
+        n_buckets = 1 << window_bits
+        subs = pip._sub_schedule(n_windows, window_bits)
+        bcaps = None
+        shift = window_bits
+    subs_all = subs * n_polys  # row = p*W + w
+    bcaps_all = None if bcaps is None else bcaps * n_polys
 
-    stacked = local_buckets(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys)
+    if negs is None:
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes)),
+            out_specs=P(None, axes, None, None, None),
+            check_vma=False,
+        )
+        def local_buckets(lpx, lpy, lpinf, lkeys):
+            acc = pip._bucket_impl(
+                lpx, lpy, lpinf, lkeys, None, n_buckets, subs_all, bcaps_all
+            )
+            return jnp.stack(acc)[:, None]  # (3, 1, 32, P*W, B) per device
+
+        stacked = local_buckets(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys
+        )
+    else:
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes), P(None, axes)),
+            out_specs=P(None, axes, None, None, None),
+            check_vma=False,
+        )
+        def local_buckets(lpx, lpy, lpinf, lkeys, lnegs):
+            acc = pip._bucket_impl(
+                lpx, lpy, lpinf, lkeys, lnegs, n_buckets, subs_all, bcaps_all
+            )
+            return jnp.stack(acc)[:, None]
+
+        stacked = local_buckets(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, negs
+        )
 
     # stacked: (3, d, 32, P*W, B) — move digits first, then reduce the device
     # axes minor-to-major (chips within a host over ICI before hosts over
@@ -98,13 +143,13 @@ def msm_sharded_multi(
     for axis in range(len(mesh_shape), 0, -1):  # minor (ICI) first
         p = _tree_reduce_axis(p, axis)
     buckets = tuple(c.reshape((32,) + stacked.shape[3:]) for c in p)
-    tw = pip._window_sums(buckets, 1 << window_bits)
+    tw = pip._window_sums(buckets, n_buckets)
     pts = bn254.unpack_jacobian(tw)  # (P*W) window sums, poly-major
     out = []
     for pi in range(n_polys):
         acc = None
         for pt in reversed(pts[pi * n_windows : (pi + 1) * n_windows]):
-            for _ in range(window_bits):
+            for _ in range(shift):
                 acc = ech.g1_double(acc)
             acc = ech.g1_add(acc, pt)
         out.append(acc)

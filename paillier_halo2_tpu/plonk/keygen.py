@@ -32,6 +32,11 @@ DELTA = pow(host.FR_GENERATOR, 1 << host.FR_TWO_ADICITY, P)
 EXTENDED_RATE_BITS = 2  # max constraint degree 4 -> extended domain 4n
 PERM_CHUNK = 2  # permutation columns per grand-product (degree 2+PERM_CHUNK)
 
+# Per-call phase timings of the last keygen() (seconds). The bench harness
+# uses "commit" (fixed-commitment MSMs = the verifying-key share) to split
+# keygen into the reference's vk_time/pk_time semantics (bench.rs:174-175).
+KEYGEN_PHASE_TIMES: dict[str, float] = {}
+
 
 @dataclasses.dataclass
 class VerifyingKey:
@@ -43,6 +48,14 @@ class VerifyingKey:
     perm_chunks: list[list[int]]
     usable: int
     advice_blind: None = None  # placeholder for future zk audit metadata
+    # Multi-open scheme: "shplonk" (BDFG20 — 2 W points, the halo2-axiom
+    # harness default [dep]) or "gwc" (one W point per opening point).
+    # Recorded in the key so prover and verifier always agree.
+    multiopen: str = "shplonk"
+    # Public-input (instance) column count (0 or 1) — when 1, verify_proof
+    # requires the statement's instance values and re-derives their
+    # evaluation itself (halo2 instance columns [dep]).
+    num_instance: int = 0
     # fixed commitments
     q_commits: list[ech.Point] = dataclasses.field(default_factory=list)
     fixed_const_commit: ech.Point = None
@@ -78,6 +91,31 @@ class ProvingKey:
     @property
     def k(self) -> int:
         return self.vk.k
+
+
+def _commit_fixed(srs: SRS, coeffs_list: list) -> list:
+    """Fixed-polynomial commitments. Selector polynomials are 0/1-valued,
+    which skews the device MSM's sorted-bucket loop (half the points land in
+    ONE bucket of window 0, inflating the gather-round count) — but keygen
+    runs once per circuit shape and the device path still beats the
+    single-threaded host C++ alternative on this hardware (measured: 605 s
+    native vs ~150 s device at k=14, dominated by per-poly readbacks over
+    the tunnel). PAILLIER_TPU_KEYGEN_COMMIT=native opts into the C++ path
+    for CPU-rich hosts."""
+    import os as _os
+
+    m = coeffs_list[0].shape[1]
+    if (
+        ops._ACTIVE_MESH is None
+        and _os.environ.get("PAILLIER_TPU_KEYGEN_COMMIT") == "native"
+    ):
+        from ..native import lib as _native_lib
+
+        if _native_lib() is not None:
+            from .kzg import _commit_many_native
+
+            return _commit_many_native(srs, coeffs_list, m)
+    return commit_many(srs, coeffs_list)
 
 
 def _values_to_coeffs(vals) -> jnp.ndarray:
@@ -160,10 +198,15 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
         for s in range(0, n_perm_cols, PERM_CHUNK)
     ]
 
-    all_commits = commit_many(
-        srs, q_coeffs + [fixed_const_coeffs, table_coeffs] + sigma_coeffs
-    )
+    import time as _time
+
+    _t_commit = _time.monotonic()
+    fixed_list = q_coeffs + [fixed_const_coeffs, table_coeffs] + sigma_coeffs
+    all_commits = _commit_fixed(srs, fixed_list)
+    KEYGEN_PHASE_TIMES["commit"] = _time.monotonic() - _t_commit
     _mark("fixed commitments (batched MSM)")
+    import os
+
     vk = VerifyingKey(
         k=k,
         lookup_bits=lookup_bits,
@@ -172,6 +215,8 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
         n_perm_cols=n_perm_cols,
         perm_chunks=perm_chunks,
         usable=usable,
+        multiopen=os.environ.get("PAILLIER_TPU_MULTIOPEN", "shplonk"),
+        num_instance=layout.num_instance,
         q_commits=all_commits[:na],
         fixed_const_commit=all_commits[na],
         table_commit=all_commits[na + 1],

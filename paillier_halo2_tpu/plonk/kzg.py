@@ -54,9 +54,11 @@ def _native_srs_bytes(srs: SRS) -> tuple[bytes, bytes]:
 def _use_native_backend() -> bool:
     """CPU platform (tests, virtual meshes) routes commits through the native
     C++ Pippenger: the device MSM kernel is built for TPU and runs ~1000x
-    slower through unfused XLA:CPU thunks. PAILLIER_TPU_COMMIT_BACKEND
-    overrides: 'device' forces the JAX path (used by the multi-chip dryrun so
-    the sharded MSM really compiles), 'native' forces C++."""
+    slower through unfused XLA:CPU thunks. An ACTIVE proving mesh always wins
+    over this fallback (checked in commit_many before this is consulted), so
+    the distributed prover really runs the sharded MSM.
+    PAILLIER_TPU_COMMIT_BACKEND overrides: 'device' forces the JAX path,
+    'native' forces C++ (and disables even the mesh path)."""
     mode = os.environ.get("PAILLIER_TPU_COMMIT_BACKEND", "auto")
     if mode == "device":
         return False
@@ -88,15 +90,21 @@ def commit_many(srs: SRS, coeffs_list, window_bits: int | None = None) -> list[e
     m = coeffs_list[0].shape[1]
     assert all(c.shape[1] == m for c in coeffs_list), "pad polys to equal width"
     assert m <= srs.n
-    if _use_native_backend():
-        return _commit_many_native(srs, coeffs_list, m)
-    scalars = jnp.stack([f.from_mont(f.FR, c) for c in coeffs_list])
     from ..poly import ops as _ops
 
+    # An active proving mesh takes priority over the native-CPU fallback:
+    # the distributed prover's commits must actually exercise the sharded
+    # MSM (its collectives are the point of the dryrun / distributed tests).
     mesh = _ops._ACTIVE_MESH
-    if mesh is not None and mesh.devices.size > 1 and m % mesh.devices.size == 0:
+    if (
+        mesh is not None
+        and mesh.devices.size > 1
+        and m % mesh.devices.size == 0
+        and os.environ.get("PAILLIER_TPU_COMMIT_BACKEND") != "native"
+    ):
         from ..mesh.msm import msm_sharded_multi  # sharded bucket accumulation
 
+        scalars = jnp.stack([f.from_mont(f.FR, c) for c in coeffs_list])
         return msm_sharded_multi(
             mesh,
             jnp.asarray(srs.g1_px[:, :m]),
@@ -105,10 +113,26 @@ def commit_many(srs: SRS, coeffs_list, window_bits: int | None = None) -> list[e
             scalars,
             window_bits=window_bits,
         )
-    return msm_packed_multi(
-        jnp.asarray(srs.g1_px[:, :m]),
-        jnp.asarray(srs.g1_py[:, :m]),
-        jnp.asarray(srs.g1_inf[:m]),
-        scalars,
-        window_bits=window_bits,
-    )
+    if _use_native_backend():
+        return _commit_many_native(srs, coeffs_list, m)
+    scalars = jnp.stack([f.from_mont(f.FR, c) for c in coeffs_list])
+    px, py, pinf = _srs_bases_dev(srs, m)
+    return msm_packed_multi(px, py, pinf, scalars, window_bits=window_bits)
+
+
+def _srs_bases_dev(srs: SRS, m: int):
+    """Device-resident SRS base slices, cached per (srs, m): jnp.asarray of a
+    host array re-transfers on every call otherwise — at k=20 that is
+    ~260 MB PER COMMIT PHASE over the tunnel."""
+    cache = getattr(srs, "_dev_bases", None)
+    if cache is None:
+        cache = srs._dev_bases = {}
+    ent = cache.get(m)
+    if ent is None:
+        ent = (
+            jnp.asarray(srs.g1_px[:, :m]),
+            jnp.asarray(srs.g1_py[:, :m]),
+            jnp.asarray(srs.g1_inf[:m]),
+        )
+        cache[m] = ent
+    return ent

@@ -47,6 +47,11 @@ class CircuitLayout:
     # lookup advice columns: source virtual rows feeding each (col, row) slot
     lookup_src: np.ndarray  # (num_lookup_advice, n) int64, -1 = unused (0 value)
     n_virtual: int
+    # public-input (instance) column: source virtual rows, in exposure order
+    # (empty = no instance column; the reference's tests use none)
+    publics: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64)
+    )
 
     @property
     def num_advice(self) -> int:
@@ -57,8 +62,13 @@ class CircuitLayout:
         return self.config.num_lookup_advice
 
     @property
+    def num_instance(self) -> int:
+        return 1 if len(self.publics) else 0
+
+    @property
     def n_perm_cols(self) -> int:
-        return self.num_advice + self.num_lookup_advice + 1  # + fixed column
+        # + fixed column (+ instance column when publics are exposed)
+        return self.num_advice + self.num_lookup_advice + 1 + self.num_instance
 
 
 def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayout:
@@ -132,13 +142,18 @@ def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayou
 
     # ---- permutation cycles ------------------------------------------------
     # Columns in the permutation: advice 0..na-1, lookup advice na..na+nl-1,
-    # fixed at index na+nl. Equivalence classes via sparse connected
-    # components (the Python union-find was O(n) interpreted); sigma walks
-    # each class in ascending cell order — identical cycles to the previous
-    # discovery-order construction, which also appended members sorted.
-    n_perm_cols = num_advice + num_lookup_advice + 1
+    # fixed at index na+nl, instance (public inputs) at na+nl+1 when present.
+    # Equivalence classes via sparse connected components (the Python
+    # union-find was O(n) interpreted); sigma walks each class in ascending
+    # cell order — identical cycles to the previous discovery-order
+    # construction, which also appended members sorted.
+    publics = np.asarray(table.publics, dtype=np.int64)
+    num_instance = 1 if len(publics) else 0
+    assert len(publics) <= usable, "instance column overflow"
+    n_perm_cols = num_advice + num_lookup_advice + 1 + num_instance
     total = n_perm_cols * n
     fixed_col = num_advice + num_lookup_advice
+    inst_col = fixed_col + 1  # only meaningful when num_instance == 1
 
     vcells = col_of * n + row_of  # virtual row -> advice cell id
 
@@ -149,11 +164,13 @@ def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayou
         vcells[copy_a],
         vcells[const_idx] if len(const_idx) else np.zeros(0, np.int64),
         vcells[lookup_src[lc_idx, lr_idx]],
+        vcells[publics],
     ])
     eb = np.concatenate([
         vcells[copy_b],
         fixed_col * n + const_pos if len(const_idx) else np.zeros(0, np.int64),
         (num_advice + lc_idx) * n + lr_idx,
+        inst_col * n + np.arange(len(publics), dtype=np.int64),
     ])
 
     sigma = np.arange(total, dtype=np.int64)
@@ -193,7 +210,18 @@ def assign_layout(table: VirtualTable, k: int, lookup_bits: int) -> CircuitLayou
         sigma_row=sigma_row,
         lookup_src=lookup_src,
         n_virtual=n_virtual,
+        publics=publics,
     )
+
+
+def instance_column(table: VirtualTable, layout: CircuitLayout) -> np.ndarray:
+    """(n,) object array: the instance column's values (public inputs in
+    exposure order, zero elsewhere). Empty publics -> all-zero column."""
+    out = np.zeros(layout.n, dtype=object)
+    if len(layout.publics):
+        vals = np.asarray(table.values, dtype=object)
+        out[: len(layout.publics)] = vals[layout.publics]
+    return out
 
 
 def witness_columns(table: VirtualTable, layout: CircuitLayout, blinding_seed: bytes = b"") -> np.ndarray:
@@ -216,10 +244,12 @@ def witness_columns(table: VirtualTable, layout: CircuitLayout, blinding_seed: b
 
 def lookup_columns(table: VirtualTable, layout: CircuitLayout) -> np.ndarray:
     """(num_lookup_advice, n) object array: tagged cell values, 0 for unused
-    slots (0 is a member of the range table)."""
+    slots (0 is a member of the range table). Vectorized gather — the
+    per-cell Python loop was O(nl * n) interpreted (VERDICT r3 item 6)."""
     out = np.zeros((max(layout.num_lookup_advice, 0), layout.n), dtype=object)
-    for lc in range(layout.num_lookup_advice):
-        for lr in range(layout.n):
-            src = layout.lookup_src[lc, lr]
-            out[lc, lr] = int(table.values[src]) if src >= 0 else 0
+    if layout.num_lookup_advice:
+        src = layout.lookup_src
+        mask = src >= 0
+        vals = np.asarray(table.values, dtype=object)
+        out[mask] = vals[src[mask]]
     return out

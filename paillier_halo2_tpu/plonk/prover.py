@@ -77,25 +77,94 @@ def _permuted_lookup(a_active: np.ndarray, lookup_bits: int, usable: int):
     return a_sorted, s_sorted
 
 
+def _device_hbm_bytes() -> float:
+    """Accelerator memory budget, preferring what the DEVICE reports over any
+    env default (round-3 driver regression: the 12 GB default over-slabbed
+    k=14 in an environment whose chip actually had 16 GB). Precedence:
+    PAILLIER_TPU_HBM_GB env > device memory_stats > 12 GB."""
+    env = os.environ.get("PAILLIER_TPU_HBM_GB")
+    if env is not None:
+        return float(env) * (1 << 30)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit and limit > (1 << 30):
+            return float(limit)
+    except Exception:
+        pass
+    return 12.0 * (1 << 30)
+
+
 def _slab_sizes(n_ext: int) -> tuple[int, int]:
     """Column-slab widths for the prover's wide phases, sized from the actual
     HBM footprint instead of fixed constants. The k=17/~50-column config-4
     run OOM'd un-slabbed (the batched extended NTT's transients peak at ~20x
-    its input; the perm fraction/inverse phase at ~8x), but at k<=15 every
-    phase fits whole — and slabbing there costs real time (k=14 warm proof:
-    23s un-slabbed vs 82s with the k=17 slab constants). Overridable via
-    PAILLIER_TPU_PERM_GROUP / PAILLIER_TPU_QUOT_GROUP."""
+    its input), but at k<=15 every phase fits whole — and slabbing there
+    costs real time (k=14 warm proof: 23s un-slabbed vs 82s with the k=17
+    slab constants). Overridable via PAILLIER_TPU_PERM_GROUP /
+    PAILLIER_TPU_QUOT_GROUP.
+
+    Both formulas carry a 0.7 headroom factor (ADVICE r3: the raw quotient
+    divide left the extended-NTT transient alone at ~94% of HBM with resident
+    polys unaccounted). Peaks they guard:
+      - QG (quotient ext-NTT slab): ~20x transient inside one batched
+        extended NTT of a (D, QG, n_ext) stack -> 20 * QG * col_ext_bytes.
+      - GROUP (perm chunks per slab): binding phase is the quotient's perm
+        constraints — per chunk ~8 live (D, 2, n_ext) arrays (col/id/sig
+        ext forms, fs/fi, lhs/rhs, zp slice) = 16 * col_ext_bytes per chunk.
+        (The base-domain grand-product phase peaks lower, ~8x over n-sized
+        2-col chunks = 2 * col_ext_bytes per chunk.)"""
     col_ext_bytes = 32 * 4 * n_ext  # one column, extended domain, uint32 digits
-    hbm = float(os.environ.get("PAILLIER_TPU_HBM_GB", "12")) * (1 << 30)
-    qg = max(1, int(hbm / (20 * col_ext_bytes)))
+    hbm = _device_hbm_bytes()
+    qg = max(1, int(0.7 * hbm / (20 * col_ext_bytes)))
     group = max(1, int(0.7 * hbm / (16 * col_ext_bytes)))
     qg = int(os.environ.get("PAILLIER_TPU_QUOT_GROUP", qg))
     group = int(os.environ.get("PAILLIER_TPU_PERM_GROUP", group))
     return group, qg
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _omega_powers_dev(k: int) -> jnp.ndarray:
+    """(D, 1, n) Montgomery powers of the 2^k-th root of unity, on device.
+    Static per k; cached for the process lifetime (reused every proof)."""
+    return ops.powers_dev([host.root_of_unity(k)], 1 << k)
+
+
+@functools.lru_cache(maxsize=8)
+def _delta_powers_digits(npc: int) -> np.ndarray:
+    """(D, npc) Montgomery digits of DELTA^j (host; tiny)."""
+    from .keygen import DELTA
+
+    out, acc = [], 1
+    for _ in range(npc):
+        out.append(acc * SPEC.r_mod_p % P)
+        acc = acc * DELTA % P
+    return f.pack_ints(out)
+
+
+@functools.lru_cache(maxsize=8)
+def _zh_inv_dev(k: int, k_ext: int) -> jnp.ndarray:
+    """1/Z_H on the extended coset (static per k; device, cached)."""
+    n, n_ext = 1 << k, 1 << k_ext
+    rate = n_ext // n
+    g_coset = host.FR_GENERATOR
+    gn = pow(g_coset, n, P)
+    w_ext = host.root_of_unity(k_ext)
+    zh_inv_pattern = []
+    for i in range(rate):
+        v = (gn * pow(w_ext, n * i % n_ext, P) - 1) % P
+        zh_inv_pattern.append(pow(v, P - 2, P))
+    return ops.to_device_mont(list(np.tile(np.array(zh_inv_pattern, dtype=object), n)))
+
+
 class _Evaluator:
-    """Caches device power vectors per opening point."""
+    """Single-point one-off evaluation helper (selfcheck paths only — the hot
+    path batches every opening point through ops.powers_dev + one readback)."""
 
     def __init__(self, n: int):
         self.n = n
@@ -103,26 +172,128 @@ class _Evaluator:
 
     def powers(self, x: int) -> jnp.ndarray:
         if x not in self._powers:
-            acc, out = 1, []
-            for _ in range(self.n):
-                out.append(acc)
-                acc = acc * x % P
-            self._powers[x] = ops.to_device_mont(out)
+            self._powers[x] = ops.powers_dev([x], self.n)[:, 0]
         return self._powers[x]
 
     def eval(self, coeffs: jnp.ndarray, x: int) -> int:
         pw = self.powers(x)[:, : coeffs.shape[1]]
         return ops.from_device_mont(ops._sum_reduce(f.mont_mul(SPEC, coeffs, pw)))[0]
 
-    def eval_many(self, coeff_list: list[jnp.ndarray], x: int) -> list[int]:
-        """All polys at one point in a single device call (equal widths)."""
-        if not coeff_list:
-            return []
-        m = coeff_list[0].shape[1]
-        assert all(c.shape[1] == m for c in coeff_list)
-        stacked = jnp.stack(coeff_list, axis=1)  # (D, P, m)
-        pw = self.powers(x)[:, None, :m]
-        return ops.from_device_mont(ops._sum_reduce(f.mont_mul(SPEC, stacked, pw)))
+
+def _shplonk_open(pk, tr, opening_sets, all_evals, points, pw, pw_inv, zinvs,
+                  fold_slabbed, syn_div_rows, n, na, nl, nzp, polys_by_kind):
+    """SHPLONK (BDFG20) multi-open — see plonk/multiopen.py for the protocol
+    and the grouping contract shared with the verifier. All poly arithmetic
+    (group folds, chained synthetic divisions, the final L and Q quotients)
+    runs on device from the precomputed opening-point power tables; only the
+    tiny scalar plumbing (r_i(u) Lagrange over <=4 points, Z_T factors) is
+    host math."""
+    from .multiopen import KINDS, shplonk_groups
+
+    vk = pk.vk
+    npc = vk.n_perm_cols
+    n_pieces = len(polys_by_kind["t"])
+    groups = shplonk_groups(na, nl, npc, nzp, n_pieces)
+    point_keys = [key for key, _ in opening_sets]
+    si_of = {key: i for i, key in enumerate(point_keys)}
+
+    emap: dict[tuple, int] = {}
+
+    def fill(key, items):
+        evs = all_evals[key]
+        assert len(items) == len(evs), (key, len(items), len(evs))
+        for it, e in zip(items, evs):
+            emap[it + (key,)] = e
+
+    fill("x", [(kind, i) for kind in KINDS for i in range(len(polys_by_kind[kind]))])
+    fill(
+        "wx",
+        [("adv", i) for i in range(na)]
+        + [("zp", i) for i in range(nzp)]
+        + [("zl", i) for i in range(nl)],
+    )
+    fill("w2x", [("adv", i) for i in range(na)])
+    fill("w3x", [("adv", i) for i in range(na)])
+    fill("winvx", [("ap", i) for i in range(nl)])
+    fill("wux", [("zp", i) for i in range(nzp - 1)] if nzp > 1 else [])
+
+    y = tr.squeeze_challenge()
+    v = tr.squeeze_challenge()
+
+    F_list, r_evals = [], []
+    h_acc = None
+    G = len(groups)
+    for gi, (pts, items) in enumerate(groups):
+        m = len(items)
+        ypow = jnp.asarray(
+            f.pack_ints([pow(y, m - 1 - j, P) * SPEC.r_mod_p % P for j in range(m)])
+        )[:, :, None]
+        Fg = fold_slabbed([polys_by_kind[kind][i] for kind, i in items], ypow)
+        F_list.append(Fg)
+        re = {}
+        for pt in pts:
+            acc = 0
+            for kind, i in items:
+                acc = (acc * y + emap[(kind, i, pt)]) % P
+            re[pt] = acc
+        r_evals.append(re)
+        hg = Fg
+        for pt in pts:  # chained subtract-eval-and-divide == (F - r_i)/Z_S
+            si = si_of[pt]
+            hg = syn_div_rows(hg, pw[:, si], pw_inv[:, si], zinvs[si])
+        vm = jnp.asarray(f.pack_ints([pow(v, G - 1 - gi, P) * SPEC.r_mod_p % P]))
+        term = f.mont_mul(SPEC, hg, vm)
+        h_acc = term if h_acc is None else f.add(SPEC, h_acc, term)
+    (h_pt,) = commit_many(pk.srs, [h_acc])
+    tr.write_point(h_pt)
+    u = tr.squeeze_challenge()
+
+    # host scalars: Z_T(u), z_i = Z_{T \ S_i}(u), r_i(u), c = sum a_i r_i(u)
+    used = set()
+    for pts, _ in groups:
+        used.update(pts)
+    T = [key for key in point_keys if key in used]
+    z_t = 1
+    for key in T:
+        z_t = z_t * (u - points[key]) % P
+    a_list, c = [], 0
+    for gi, (pts, items) in enumerate(groups):
+        zi = 1
+        for key in T:
+            if key not in pts:
+                zi = zi * (u - points[key]) % P
+        riu = 0
+        for pt in pts:  # Lagrange interpolation of the folded evals at u
+            zt = points[pt]
+            num, den = 1, 1
+            for qt in pts:
+                if qt == pt:
+                    continue
+                num = num * (u - points[qt]) % P
+                den = den * (zt - points[qt]) % P
+            riu = (riu + r_evals[gi][pt] * num % P * pow(den, P - 2, P)) % P
+        a = pow(v, G - 1 - gi, P) * zi % P
+        a_list.append(a)
+        c = (c + a * riu) % P
+
+    coefs = jnp.asarray(
+        f.pack_ints(
+            [a * SPEC.r_mod_p % P for a in a_list]
+            + [(P - z_t) % P * SPEC.r_mod_p % P]
+        )
+    )[:, :, None]
+    big_l = fold_slabbed(F_list + [h_acc], coefs)
+    c_m = jnp.asarray(f.pack_ints([c * SPEC.r_mod_p % P]))
+    big_l = jnp.concatenate([f.sub(SPEC, big_l[:, :1], c_m), big_l[:, 1:]], axis=1)
+    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+        lu = ops.eval_at(big_l, u)
+        print(f"[selfcheck] shplonk L(u) == 0: {lu == 0}", flush=True)
+        assert lu == 0, "shplonk L(u) != 0"
+    u_inv = pow(u, P - 2, P)
+    pwu = ops.powers_dev([u, u_inv], n)
+    q_poly = syn_div_rows(big_l, pwu[:, 0], pwu[:, 1], u_inv)
+    (q_pt,) = commit_many(pk.srs, [q_poly])
+    tr.write_point(q_pt)
 
 
 def create_proof(
@@ -155,6 +326,11 @@ def _create_proof_inner(
     tr = TranscriptWriter()
     for c in vk.fixed_commitments():
         tr.common_point(c)
+    # public inputs bind the statement: absorbed (not written — the verifier
+    # supplies them independently and absorbs the same values)
+    public_vals = table.public_values() if vk.num_instance else []
+    for v in public_vals:
+        tr.common_scalar(v)
 
     # ---- 1. advice + lookup-advice columns --------------------------------
     adv_vals = witness_columns(table, layout, blinding_seed)
@@ -201,14 +377,28 @@ def _create_proof_inner(
     # ---- 3. permutation grand products ------------------------------------
     # Permutation column j's value column: advice j (j<na), lookup advice
     # (na<=j<na+nl), fixed const (j = na+nl). All chunks batched: fractions,
-    # inverses, and prefix products run over a (D, chunks, n) tensor; only
-    # the chunk-chain starts (one scalar per chunk) touch the host.
-    def perm_col_values(j: int) -> np.ndarray:
+    # inverses, prefix products, AND the chunk-chain starts run on device —
+    # round 4 removed the per-slab host round trips (the id/sigma/column
+    # re-uploads were the warm prover's single largest cost: 254-bit object
+    # ints take pack_values' slow path, and the transfers ride the tunnel).
+    # Column values are recomputed on device via values_of(coeffs) — the NTT
+    # roundtrip is exact — and the id columns from a delta x omega outer
+    # product.
+    if vk.num_instance:
+        from .layout import instance_column
+
+        inst_coeffs = ops.coeffs_of(
+            ops.to_device_mont(instance_column(table, pk.layout)), k
+        )
+
+    def perm_col_coeffs(j: int) -> jnp.ndarray:
         if j < na:
-            return adv_vals[j]
+            return adv_coeffs[j]
         if j < na + nl:
-            return lk_vals[j - na]
-        return pk.fixed_const_values
+            return lk_coeffs[j - na]
+        if j == na + nl:
+            return pk.fixed_const_coeffs
+        return inst_coeffs  # instance column (public inputs)
 
     npc = vk.n_perm_cols
     active_mask = np.zeros(n, dtype=bool)
@@ -216,24 +406,35 @@ def _create_proof_inner(
     act_dev = jnp.asarray(active_mask)
     b3 = beta_m[:, None, :]
     g3 = gamma_m[:, None, :]
+    omega_row = _omega_powers_dev(k)  # (D, 1, n) cached per k
+    delta_all = _delta_powers_digits(npc)  # host digits, cached per npc
+
+    def id_cols_dev(cols: list[int]) -> jnp.ndarray:
+        dcol = jnp.asarray(delta_all[:, cols])[:, :, None]  # (D, g, 1)
+        return f.mont_mul(SPEC, dcol, omega_row)
+
+    def sigma_cols_dev(cols: list[int]) -> jnp.ndarray:
+        return ops.values_of(
+            jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1), k
+        )
 
     # Processed in slabs of PERM_GROUP chunks: materializing every
     # permutation column's numerator/denominator/inverse at once peaks at
     # ~8x the resident column data and OOM'd HBM at k=17 with ~50 advice
     # columns (round-3 config-4 run). The per-chunk grand products are
-    # independent except for the scalar chain starts, so slab transients
-    # cap memory while values (and transcript bytes) stay identical.
+    # independent except for the chain starts, so slab transients cap
+    # memory while values (and transcript bytes) stay identical.
     n_chunks = len(vk.perm_chunks)
     GROUP, QG = _slab_sizes(n_ext)
     _mark("perm inputs packed")
     pref_slabs = []
-    ends: list[int] = []
+    ends_dev: list[jnp.ndarray] = []
     for c0 in range(0, n_chunks, GROUP):
         c1 = min(c0 + GROUP, n_chunks)
         cols = list(range(2 * c0, min(2 * c1, npc)))
-        pcd = ops.to_device_mont(np.stack([perm_col_values(j) for j in cols]))
-        idd = ops.to_device_mont(pk.id_values[cols])
-        sgd = ops.to_device_mont(pk.sigma_values[cols])
+        pcd = ops.values_of(jnp.stack([perm_col_coeffs(j) for j in cols], axis=1), k)
+        idd = id_cols_dev(cols)
+        sgd = sigma_cols_dev(cols)
         num_f = f.add(SPEC, pcd, f.add(SPEC, f.mont_mul(SPEC, b3, idd), g3))
         den_f = f.add(SPEC, pcd, f.add(SPEC, f.mont_mul(SPEC, b3, sgd), g3))
         pc = (c1 - c0) * 2 - len(cols)  # pad to even chunks (PERM_CHUNK=2)
@@ -249,31 +450,36 @@ def _create_proof_inner(
         )
         pref = ops.prefix_product(frac)  # (D, C, n) inclusive along rows
         pref_slabs.append(pref)
-        ends.extend(ops.from_device_mont(pref[:, :, usable - 1 : usable]))
-    starts = [1]
-    for e in ends:
-        starts.append(starts[-1] * e % P)
-    assert starts[-1] == 1, "permutation product does not close (copy constraints unsatisfied?)"
+        ends_dev.append(pref[:, :, usable - 1])
+    # chain starts on device: starts[c] = prod_{c'<c} ends[c'] (exclusive
+    # prefix product along the chunk axis; tiny — C lanes)
+    ends_all = jnp.concatenate(ends_dev, axis=1) if len(ends_dev) > 1 else ends_dev[0]
+    pp_ends = ops.prefix_product(ends_all)  # (D, C) inclusive
+    starts_dev = jnp.concatenate(
+        [jnp.broadcast_to(one_m[:, :1], (32, 1)), pp_ends[:, :-1]], axis=1
+    )
+    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+        closing = ops.from_device_mont(pp_ends[:, -1:])[0]
+        assert closing == 1, (
+            "permutation product does not close (copy constraints unsatisfied?)"
+        )
     zp_blind = np.empty((n_chunks, n - usable - 1), dtype=object)
     for c in range(n_chunks):
         for r in range(usable + 1, n):
             h = hashlib.blake2b(blinding_seed + b"zp%d" % c + r.to_bytes(4, "little")).digest()
             zp_blind[c, r - usable - 1] = int.from_bytes(h, "little") % P
+    zp_blind_dev = ops.to_device_mont(zp_blind)
     zp_parts = []
     for si, c0 in enumerate(range(0, n_chunks, GROUP)):
         c1 = min(c0 + GROUP, n_chunks)
         pref = pref_slabs[si]
-        start_m = jnp.asarray(
-            f.pack_ints([s * SPEC.r_mod_p % P for s in starts[c0:c1]])
-        )[:, :, None]
+        start_m = starts_dev[:, c0:c1, None]
         shifted = jnp.concatenate(
             [jnp.broadcast_to(one_m[:, None, :], (32, c1 - c0, 1)), pref[:, :, :-1]],
             axis=2,
         )
         z_slab = f.mont_mul(SPEC, shifted, start_m)  # z[c, usable] = end_c*start_c
-        z_slab = z_slab.at[:, :, usable + 1 :].set(
-            ops.to_device_mont(zp_blind[c0:c1])
-        )
+        z_slab = z_slab.at[:, :, usable + 1 :].set(zp_blind_dev[:, c0:c1])
         zp_parts.append(ops.coeffs_of(z_slab, k))
     _mark("perm Z computed")
 
@@ -281,11 +487,15 @@ def _create_proof_inner(
     zp_coeffs = [zp_stack[:, c] for c in range(n_chunks)]
 
     # ---- 4. lookup grand products (batched over lookup columns) -----------
-    table_dev = ops.to_device_mont(pk.table_values)
+    if getattr(pk, "_table_mont_dev", None) is None:
+        pk._table_mont_dev = ops.to_device_mont(pk.table_values)
+    table_dev = pk._table_mont_dev
     if nl:
-        ap_dev = ops.to_device_mont(np.stack(ap_vals))
-        sp_dev = ops.to_device_mont(np.stack(sp_vals))
-        lk_dev = ops.to_device_mont(np.stack(lk_vals))
+        # value forms recomputed on device from the coefficient stacks (exact
+        # NTT roundtrip) — no host re-upload of the big object-int arrays
+        ap_dev = ops.values_of(jnp.stack(ap_coeffs, axis=1), k)
+        sp_dev = ops.values_of(jnp.stack(sp_coeffs, axis=1), k)
+        lk_dev = ops.values_of(jnp.stack(lk_coeffs, axis=1), k)
         num_l = f.mont_mul(SPEC, f.add(SPEC, lk_dev, b3), f.add(SPEC, table_dev[:, None, :], g3))
         den_l = f.mont_mul(SPEC, f.add(SPEC, ap_dev, b3), f.add(SPEC, sp_dev, g3))
         frac_l = f.mont_mul(SPEC, num_l, ops.batch_inverse(den_l))
@@ -293,8 +503,9 @@ def _create_proof_inner(
             act_dev[None, None, :], frac_l, jnp.broadcast_to(one_m[:, None, :], frac_l.shape)
         )
         pref_l = ops.prefix_product(frac_l)
-        ends_l = ops.from_device_mont(pref_l[:, :, usable - 1 : usable])
-        assert all(e == 1 for e in ends_l), "lookup product does not close (lookup unsatisfied?)"
+        if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+            ends_l = ops.from_device_mont(pref_l[:, :, usable - 1 : usable])
+            assert all(e == 1 for e in ends_l), "lookup product does not close (lookup unsatisfied?)"
         shifted_l = jnp.concatenate(
             [jnp.broadcast_to(one_m[:, None, :], (32, nl, 1)), pref_l[:, :, :-1]], axis=2
         )
@@ -385,9 +596,8 @@ def _create_proof_inner(
     for c0 in range(0, n_chunks, GROUP):
         c1 = min(c0 + GROUP, n_chunks)
         cols = list(range(2 * c0, min(2 * c1, npc)))
-        col_e = ext(ops.coeffs_of(
-            ops.to_device_mont(np.stack([perm_col_values(j) for j in cols])), k))
-        id_e = ext(ops.coeffs_of(ops.to_device_mont(pk.id_values[cols]), k))
+        col_e = ext(jnp.stack([perm_col_coeffs(j) for j in cols], axis=1))
+        id_e = ext(ops.coeffs_of(id_cols_dev(cols), k))
         sig_e = ext(jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1))
         fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
         fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
@@ -452,16 +662,8 @@ def _create_proof_inner(
             del zl_ext, lk_ext, ap_ext, sp_ext, ca, cb, cc, cd, ce, lk_stack5
         del table_ext
 
-    # divide by Z_H on the coset
-    g_coset = host.FR_GENERATOR
-    gn = pow(g_coset, n, P)
-    w_ext = host.root_of_unity(k_ext)
-    zh_inv_pattern = []
-    for i in range(rate):
-        v = (gn * pow(w_ext, n * i % n_ext, P) - 1) % P
-        zh_inv_pattern.append(pow(v, P - 2, P))
-    zh_inv = ops.to_device_mont(list(np.tile(np.array(zh_inv_pattern, dtype=object), n)))
-    t_ext = f.mont_mul(SPEC, acc, zh_inv)
+    # divide by Z_H on the coset (static per k -> process-cached on device)
+    t_ext = f.mont_mul(SPEC, acc, _zh_inv_dev(k, k_ext))
     _mark("quotient divided")
     t_coeffs = ops.coeffs_from_extended(t_ext, k, k_ext)
     n_pieces = 3  # max constraint degree 4 -> deg(t) <= 3n - 4
@@ -495,7 +697,6 @@ def _create_proof_inner(
         "wux": x * pow(w1, usable, P) % P,
     }
 
-    ev = _Evaluator(n)
     # opening registry: (point_key, list of coeff arrays) in canonical order
     nz = len(vk.perm_chunks)
     at_x = (
@@ -524,28 +725,104 @@ def _create_proof_inner(
         ("wux", at_wux),
     ]
 
+    # ---- evals: every (point, poly) pair batched on device, ONE readback --
+    # Power tables for all opening points (and their inverses, for the
+    # batched synthetic division below) are computed on device: two tiny h2d
+    # + log-depth prefix products instead of 6 host power loops + transfers.
+    point_keys = [key for key, _ in opening_sets]
+    zs = [points[key] for key in point_keys]
+    zinvs = [pow(z, P - 2, P) for z in zs]
+    pw = ops.powers_dev(zs, n)  # (D, 6, n)
+    pw_inv = ops.powers_dev(zinvs, n)
+    EV_SLAB = int(os.environ.get("PAILLIER_TPU_EVAL_SLAB", str(max(4 * QG, 8))))
+    ev_parts = []
+    for si, (key, polys) in enumerate(opening_sets):
+        row = pw[:, si : si + 1, :]
+        for c0 in range(0, len(polys), EV_SLAB):
+            stacked = jnp.stack(list(polys[c0 : c0 + EV_SLAB]), axis=1)
+            ev_parts.append(
+                ops._sum_reduce(f.mont_mul(SPEC, stacked, row))[..., 0]
+            )
+    all_ev_flat = (
+        ops.from_device_mont(jnp.concatenate(ev_parts, axis=1)) if ev_parts else []
+    )
     all_evals: dict[str, list[int]] = {}
+    pos = 0
     for key, polys in opening_sets:
-        evs = ev.eval_many(list(polys), points[key])
+        evs = all_ev_flat[pos : pos + len(polys)]
+        pos += len(polys)
         all_evals[key] = evs
         for e in evs:
             tr.write_scalar(e)
 
     _mark("evals written")
-    # ---- 6. GWC multi-open -------------------------------------------------
+
+    def fold_slabbed(polys, coefs_mont):
+        """sum_j coefs[j] * polys[j] on device, slabbed (coefs packed (D,m,1))."""
+        acc_c = None
+        for c0 in range(0, len(polys), EV_SLAB):
+            part = ops.sum_axis(
+                f.mont_mul(
+                    SPEC,
+                    jnp.stack(list(polys[c0 : c0 + EV_SLAB]), axis=1),
+                    coefs_mont[:, c0 : c0 + EV_SLAB],
+                ),
+                1,
+            )
+            acc_c = part if acc_c is None else f.add(SPEC, acc_c, part)
+        return acc_c
+
+    zeros1 = jnp.zeros((32, 1), jnp.uint32)
+
+    def syn_div_rows(arr, zrow, zinvrow, zinv: int):
+        """(f(X) - f(z)) / (X - z) on device from precomputed power rows."""
+        d = f.mont_mul(SPEC, arr, zrow)
+        incl = ops._suffix_sum(d)
+        s = jnp.concatenate([incl[:, 1:], zeros1], axis=1)
+        zim = jnp.asarray(f.pack_ints([zinv * SPEC.r_mod_p % P]))
+        return f.mont_mul(SPEC, f.mont_mul(SPEC, s, zinvrow), zim)
+
+    if vk.multiopen == "shplonk":
+        _shplonk_open(
+            pk, tr, opening_sets, all_evals, points, pw, pw_inv, zinvs,
+            fold_slabbed, syn_div_rows, n, na, nl, nz,
+            {
+                "adv": adv_coeffs, "lk": lk_coeffs, "q": pk.q_coeffs,
+                "fc": [pk.fixed_const_coeffs], "table": [pk.table_coeffs],
+                "sigma": pk.sigma_coeffs, "zp": zp_coeffs, "zl": zl_coeffs,
+                "ap": ap_coeffs, "sp": sp_coeffs, "t": t_pieces,
+            },
+        )
+        _mark("multiopen done")
+        return tr.finalize()
+
+    # ---- 6. GWC multi-open (legacy; PAILLIER_TPU_MULTIOPEN=gwc) -----------
+    # nu-fold per opening set (slabbed), then ALL W quotients in one batched
+    # synthetic division: q_i = z^-(i+1) * suffix_sum(c_j z^j)_{i+1}, using
+    # the device power tables above — no host power loops, no per-set
+    # division dispatch chains.
     nu = tr.squeeze_challenge()
-    w_list = []
-    for key, polys in opening_sets:
+    ev = _Evaluator(n) if os.environ.get("PAILLIER_TPU_SELFCHECK") else None
+    acc_list, acc_rows = [], []
+    for si, (key, polys) in enumerate(opening_sets):
         if not polys:
             continue
         m = len(polys)
         nupow = jnp.asarray(
             f.pack_ints([pow(nu, m - 1 - i, P) * SPEC.r_mod_p % P for i in range(m)])
         )[:, :, None]
-        acc_c = ops.sum_axis(
-            f.mont_mul(SPEC, jnp.stack(list(polys), axis=1), nupow), 1
-        )
-        if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+        acc_c = None
+        for c0 in range(0, m, EV_SLAB):
+            part = ops.sum_axis(
+                f.mont_mul(
+                    SPEC,
+                    jnp.stack(list(polys[c0 : c0 + EV_SLAB]), axis=1),
+                    nupow[:, c0 : c0 + EV_SLAB],
+                ),
+                1,
+            )
+            acc_c = part if acc_c is None else f.add(SPEC, acc_c, part)
+        if ev is not None:
             z = points[key]
             fz = ev.eval(acc_c, z)
             v_fold = 0
@@ -561,7 +838,19 @@ def _create_proof_inner(
                 flush=True,
             )
             assert fz == v_fold and lhs == rhs, f"multiopen selfcheck failed @{key}"
-        w_list.append(ops.synthetic_divide(acc_c, points[key]))
+        acc_list.append(acc_c)
+        acc_rows.append(si)
+    acc_stack = jnp.stack(acc_list, axis=1)  # (D, nw, n)
+    zinv_m = jnp.asarray(
+        f.pack_ints([zinvs[si] * SPEC.r_mod_p % P for si in acc_rows])
+    )[:, :, None]
+    d = f.mont_mul(SPEC, acc_stack, pw[:, acc_rows])
+    incl = ops._suffix_sum(d)
+    s = jnp.concatenate(
+        [incl[..., 1:], jnp.zeros((32, len(acc_rows), 1), jnp.uint32)], axis=-1
+    )
+    wq_stack = f.mont_mul(SPEC, f.mont_mul(SPEC, s, pw_inv[:, acc_rows]), zinv_m)
+    w_list = [wq_stack[:, i] for i in range(len(acc_rows))]
     for pt in commit_many(pk.srs, w_list):
         tr.write_point(pt)
 

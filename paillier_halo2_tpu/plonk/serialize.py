@@ -66,6 +66,8 @@ def save_proving_key(pk: ProvingKey, path: str) -> None:
         "n_perm_cols": vk.n_perm_cols,
         "perm_chunks": vk.perm_chunks,
         "usable": vk.usable,
+        "multiopen": vk.multiopen,
+        "num_instance": vk.num_instance,
         "layout_n": layout.n,
         "n_virtual": layout.n_virtual,
         "config": vars(layout.config),
@@ -95,6 +97,7 @@ def save_proving_key(pk: ProvingKey, path: str) -> None:
         layout_sigma_col=pk.layout.sigma_col,
         layout_sigma_row=pk.layout.sigma_row,
         layout_lookup_src=pk.layout.lookup_src,
+        layout_publics=pk.layout.publics,
     )
 
 
@@ -111,6 +114,8 @@ def load_proving_key(path: str, srs: SRS) -> ProvingKey:
         n_perm_cols=meta["n_perm_cols"],
         perm_chunks=[list(c) for c in meta["perm_chunks"]],
         usable=meta["usable"],
+        multiopen=meta.get("multiopen", "gwc"),  # legacy keys were GWC
+        num_instance=meta.get("num_instance", 0),
         q_commits=_points_unpack(z["q_commits"]),
         fixed_const_commit=fixed2[0],
         table_commit=fixed2[1],
@@ -127,6 +132,11 @@ def load_proving_key(path: str, srs: SRS) -> ProvingKey:
         sigma_row=z["layout_sigma_row"],
         lookup_src=z["layout_lookup_src"],
         n_virtual=meta["n_virtual"],
+        publics=(
+            z["layout_publics"]
+            if "layout_publics" in getattr(z, "files", [])
+            else np.zeros(0, dtype=np.int64)
+        ),
     )
     return ProvingKey(
         vk=vk,

@@ -25,11 +25,22 @@ from ..ff.host import FR_MOD
 from ..ff.limbs import N_DIGITS
 
 # anchored at the repo root (not cwd): the driver invokes bench/tests from
-# arbitrary working directories and must still hit the same SRS cache
-PARAMS_DIR = os.environ.get(
-    "PAILLIER_TPU_PARAMS",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "params"),
+# arbitrary working directories and must still hit the same SRS cache.
+# Fallback (ADVICE r3): an existing ./params in the cwd — pre-round-3 runs
+# cached there — is used when the repo-root dir does not exist yet, so old
+# caches are not silently regenerated. Env override wins over both.
+_REPO_PARAMS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "params"
 )
+
+
+def _default_params_dir() -> str:
+    if os.path.isdir(_REPO_PARAMS) or not os.path.isdir("params"):
+        return _REPO_PARAMS
+    return os.path.abspath("params")
+
+
+PARAMS_DIR = os.environ.get("PAILLIER_TPU_PARAMS", _default_params_dir())
 
 
 @dataclasses.dataclass

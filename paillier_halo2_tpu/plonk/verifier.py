@@ -26,21 +26,107 @@ def _lagrange_at(i: int, x: int, n: int, omega: int) -> int:
     return num * pow(den, P - 2, P) % P
 
 
-def verify_proof(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
+def _verify_shplonk(vk, srs, tr, commits, evals, points, na, nl, nz, npc, n_pieces):
+    """SHPLONK (BDFG20) verification — mirrors prover._shplonk_open; see
+    plonk/multiopen.py for the protocol and grouping contract.
+
+    [L] = sum_i a_i C_i - c*G - Z_T(u)*H with a_i = v^pow * Z_{T\\S_i}(u),
+    c = sum_i a_i r_i(u); accept iff e(Q, [tau]_2) == e(L + u*Q, [1]_2)."""
+    from .multiopen import shplonk_groups
+
+    y = tr.squeeze_challenge()
+    v = tr.squeeze_challenge()
+    h_commit = tr.read_point()
+    u = tr.squeeze_challenge()
+    q_commit = tr.read_point()
+    tr.assert_consumed()
+
+    groups = shplonk_groups(na, nl, npc, nz, n_pieces)
+    # per-(kind, i) eval at a point key: evals[key][kind] lists follow the
+    # same canonical order the prover used
+    idx_of: dict[tuple, int] = {}
+    for key, by_kind in evals.items():
+        for kind, lst in by_kind.items():
+            for i, e in enumerate(lst):
+                idx_of[(kind, i, key)] = e
+
+    used = set()
+    for pts, _ in groups:
+        used.update(pts)
+    T = [key for key in points if key in used]
+    z_t = 1
+    for key in T:
+        z_t = z_t * (u - points[key]) % P
+
+    big_l = None
+    c_total = 0
+    G = len(groups)
+    for gi, (pts, items) in enumerate(groups):
+        # folded commitment and folded evals (Horner in y, first = highest)
+        cm = None
+        for kind, i in items:
+            cm = ech.g1_add(ech.g1_mul(cm, y) if cm else None, commits[kind][i])
+        zi = 1
+        for key in T:
+            if key not in pts:
+                zi = zi * (u - points[key]) % P
+        riu = 0
+        for pt in pts:
+            acc = 0
+            for kind, i in items:
+                acc = (acc * y + idx_of[(kind, i, pt)]) % P
+            zt = points[pt]
+            num, den = 1, 1
+            for qt in pts:
+                if qt == pt:
+                    continue
+                num = num * (u - points[qt]) % P
+                den = den * (zt - points[qt]) % P
+            riu = (riu + acc * num % P * pow(den, P - 2, P)) % P
+        a = pow(v, G - 1 - gi, P) * zi % P
+        c_total = (c_total + a * riu) % P
+        big_l = ech.g1_add(big_l, ech.g1_mul(cm, a))
+    big_l = ech.g1_add(big_l, ech.g1_neg(ech.g1_mul(ech.G1, c_total)))
+    big_l = ech.g1_add(big_l, ech.g1_neg(ech.g1_mul(h_commit, z_t)))
+
+    rhs = ech.g1_add(big_l, ech.g1_mul(q_commit, u))
+    ok = pairing_check(
+        [(q_commit, srs.g2_tau), (ech.g1_neg(rhs), srs.g2_gen)]
+    )
+    if not ok and os.environ.get("PAILLIER_TPU_TRACE"):
+        print("[verifier] shplonk pairing check FAILED", flush=True)
+    return ok
+
+
+def verify_proof(
+    vk: VerifyingKey, srs: SRS, proof: bytes, instances: list[int] | None = None
+) -> bool:
+    """`instances`: the statement's public-input values (required iff the
+    circuit exposes any — vk.num_instance == 1). The verifier re-derives the
+    instance evaluation itself, so a proof only verifies against the exact
+    public values the prover committed to."""
     try:
-        return _verify(vk, srs, proof)
+        return _verify(vk, srs, proof, instances)
     except (ValueError, AssertionError):
         return False
 
 
-def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
+def _verify(
+    vk: VerifyingKey, srs: SRS, proof: bytes, instances: list[int] | None = None
+) -> bool:
     k, n, usable = vk.k, vk.n, vk.usable
     na, nl = vk.num_advice, vk.num_lookup_advice
     nz = len(vk.perm_chunks)
     npc = vk.n_perm_cols
+    num_instance = getattr(vk, "num_instance", 0)
+    if num_instance and instances is None:
+        raise ValueError("circuit exposes public inputs; pass instances=")
     tr = TranscriptReader(proof)
     for c in vk.fixed_commitments():
         tr.common_point(c)
+    if num_instance:
+        for v in instances:
+            tr.common_scalar(v)
 
     adv_commits = [tr.read_point() for _ in range(na)]
     lk_commits = [tr.read_point() for _ in range(nl)]
@@ -122,7 +208,13 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
             return adv_x[j]
         if j < na + nl:
             return lk_x[j - na]
-        return fc_x
+        if j == na + nl:
+            return fc_x
+        # instance column: the VERIFIER computes I(x) = sum_j pub_j l_j(x)
+        # from the public values — this is what makes them public inputs.
+        return (
+            sum(v * _lagrange_at(i, x, n, w1) for i, v in enumerate(instances)) % P
+        )
 
     for ci, chunk in enumerate(vk.perm_chunks):
         lhs = zp_wx[ci]
@@ -159,6 +251,30 @@ def _verify(vk: VerifyingKey, srs: SRS, proof: bytes) -> bool:
         if os.environ.get("PAILLIER_TPU_TRACE"):
             print("[verifier] quotient identity FAILED at x", flush=True)
         return False
+
+    if getattr(vk, "multiopen", "gwc") == "shplonk":
+        return _verify_shplonk(
+            vk, srs, tr,
+            {
+                "adv": adv_commits, "lk": lk_commits, "q": vk.q_commits,
+                "fc": [vk.fixed_const_commit], "table": [vk.table_commit],
+                "sigma": vk.sigma_commits, "zp": zp_commits, "zl": zl_commits,
+                "ap": ap_commits, "sp": sp_commits, "t": t_commits,
+            },
+            {
+                "x": {
+                    "adv": adv_x, "lk": lk_x, "q": q_x, "fc": [fc_x],
+                    "table": [table_x], "sigma": sigma_x, "zp": zp_x,
+                    "zl": zl_x, "ap": ap_x, "sp": sp_x, "t": t_x,
+                },
+                "wx": {"adv": adv_wx, "zp": zp_wx, "zl": zl_wx},
+                "w2x": {"adv": evw2x},
+                "w3x": {"adv": evw3x},
+                "winvx": {"ap": ap_winvx},
+                "wux": {"zp": evwux},
+            },
+            points, na, nl, nz, npc, n_pieces,
+        )
 
     # ---- GWC multiopen ------------------------------------------------------
     nu = tr.squeeze_challenge()

@@ -63,9 +63,11 @@ def _mesh_for(n: int):
 # -- fast packing ------------------------------------------------------------
 
 
-def pack_values(vals) -> np.ndarray:
-    """Object-int array/list of any shape S -> (N_DIGITS, *S) uint32 digits
-    (standard form, row-major batch order).
+def pack_values_u8(vals) -> np.ndarray:
+    """Object-int array/list of any shape S -> (N_DIGITS, *S) uint8 digits
+    (standard form, row-major batch order). The uint8 form is what h2d
+    transfers ship (4x less tunnel traffic than uint32 lanes; the device
+    widens in one cast).
 
     Deliberately single-process: an earlier revision forked worker processes
     for large inputs, but fork() after JAX initialization is unsupported (JAX
@@ -85,13 +87,18 @@ def pack_values(vals) -> np.ndarray:
         small = None
     if small is not None and n and (small >= 0).all():
         u = small.astype(np.uint64)
-        dig = np.zeros((N_DIGITS, n), dtype=np.uint32)
+        dig = np.zeros((N_DIGITS, n), dtype=np.uint8)
         for d in range(8):  # 8 bytes of a uint64
-            dig[d] = ((u >> np.uint64(8 * d)) & np.uint64(0xFF)).astype(np.uint32)
+            dig[d] = ((u >> np.uint64(8 * d)) & np.uint64(0xFF)).astype(np.uint8)
         return dig.reshape((N_DIGITS,) + arr.shape)
     buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
-    dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T.astype(np.uint32)
-    return dig.reshape((N_DIGITS,) + arr.shape)
+    dig = np.frombuffer(buf, dtype=np.uint8).reshape(-1, N_DIGITS).T
+    return np.ascontiguousarray(dig).reshape((N_DIGITS,) + arr.shape)
+
+
+def pack_values(vals) -> np.ndarray:
+    """uint32-lane form of pack_values_u8 (device kernels compute in uint32)."""
+    return pack_values_u8(vals).astype(np.uint32)
 
 
 def unpack_values(arr) -> list[int]:
@@ -115,7 +122,8 @@ def reset_transfer_counts() -> dict:
 
 def to_device_mont(vals) -> jnp.ndarray:
     TRANSFER_COUNTS["h2d"] += 1
-    return f.to_mont(SPEC, jnp.asarray(pack_values(vals)))
+    # ship uint8 digits (32 B/value); widen to uint32 lanes on device
+    return f.to_mont(SPEC, jnp.asarray(pack_values_u8(vals)).astype(jnp.uint32))
 
 
 def from_device_mont(arr) -> list[int]:
@@ -227,16 +235,16 @@ def coeffs_from_extended(evals_ext: jnp.ndarray, k: int, k_ext: int) -> jnp.ndar
 
 @jax.jit
 def _suffix_sum(arr: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive suffix sum (mod p) along axis 1 via a fori_loop
+    """Inclusive suffix sum (mod p) along the LAST axis via a fori_loop
     Hillis-Steele scan: ONE compiled f.add body, log2(n) rounds."""
-    n = arr.shape[1]
+    n = arr.shape[-1]
     if n <= 1:
         return arr
-    j = jnp.arange(n, dtype=jnp.int32).reshape((1, n) + (1,) * (arr.ndim - 2))
+    j = jnp.arange(n, dtype=jnp.int32)
 
     def body(i, x):
         shift = jnp.left_shift(jnp.int32(1), i)
-        rolled = jnp.roll(x, -shift, axis=1)
+        rolled = jnp.roll(x, -shift, axis=-1)
         s = f.add(SPEC, x, rolled)
         return jnp.where(j < n - shift, s, x)
 
@@ -283,6 +291,24 @@ def sum_axis(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
         arr = f.add(SPEC, a, b)
         n = half
     return jnp.squeeze(arr, axis=axis)
+
+
+def powers_dev(xs: list[int], n: int) -> jnp.ndarray:
+    """(D, len(xs), n) Montgomery power tables computed ON DEVICE: row j is
+    [1, x_j, x_j^2, ...]. One tiny h2d of the bases + a log-depth prefix
+    product — replaces the O(n)-Python host power loops (and their big
+    transfers) the evaluator used to pay per opening point."""
+    m = len(xs)
+    base = jnp.asarray(f.pack_ints([x % P * SPEC.r_mod_p % P for x in xs]))
+    one = jnp.asarray(f.pack_ints([SPEC.r_mod_p]))
+    arr = jnp.concatenate(
+        [
+            jnp.broadcast_to(one[:, :, None], (base.shape[0], m, 1)),
+            jnp.broadcast_to(base[:, :, None], (base.shape[0], m, n - 1)),
+        ],
+        axis=2,
+    )
+    return prefix_product(arr)
 
 
 def eval_at(coeffs: jnp.ndarray, x: int) -> int:

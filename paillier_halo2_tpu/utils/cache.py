@@ -45,6 +45,24 @@ def _boot_fingerprint() -> str:
                 h.update(fh.read())
         except OSError:
             pass
+    # CPU model + feature flags: XLA:CPU AOT code embeds LLVM target features
+    # derived from CPUID, which are NOT in XLA's own cache key — and boot_id
+    # alone proved insufficient across this workspace's VMs (round-3/4 logs:
+    # "+prefer-no-gather is not supported on the host machine" while reusing
+    # a cpu-<boot> dir). Mixing CPUID-derived lines into the fingerprint
+    # makes cache dirs machine-feature-compatible by construction.
+    try:
+        with open("/proc/cpuinfo", "rb") as fh:
+            for line in fh:
+                if line.startswith((b"model name", b"flags")):
+                    h.update(line)
+                    break  # first core is representative
+            for line in fh:
+                if line.startswith(b"flags"):
+                    h.update(line)
+                    break
+    except OSError:
+        pass
     return h.hexdigest()
 
 
@@ -66,21 +84,33 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
         on_cpu = True
     if on_cpu:
         path = os.path.join(base, f"cpu-{_boot_fingerprint()}")
-        # drop CPU dirs from previous boots: their AOT host code is useless
-        # (possibly SIGILL-dangerous) here, and the workspace persists across
-        # VMs — without this the cache also grows forever. Never touches the
-        # shared portable tpu/ dir.
-        try:
-            for d in os.listdir(base):
-                full = os.path.join(base, d)
-                # "cpu-*" from other boots, plus legacy un-prefixed
-                # fingerprint dirs from rounds 1-3 (all CPU-poisonable)
-                if d != "tpu" and full != path and os.path.isdir(full):
-                    import shutil
+        # Drop STALE cpu-* dirs (and the legacy 16-hex fingerprint dirs from
+        # rounds 1-3): their AOT host code is useless (possibly
+        # SIGILL-dangerous) here, and the workspace persists across VMs —
+        # without this the cache also grows forever. Cleanup is deliberately
+        # conservative (ADVICE r3): only in the repo-default base (a
+        # user-supplied JAX_COMPILATION_CACHE_DIR may be shared with other
+        # projects), and only names matching the known cache-dir patterns —
+        # never the shared portable tpu/ dir, never unrelated directories.
+        # NOTE: a concurrently *live* cpu-<other-boot> dir on a different VM
+        # sharing this workspace would still be removed; acceptable here
+        # because each VM re-creates its dir on demand (cache miss, not data
+        # loss) and the builder/driver do not run cross-VM concurrently.
+        def _is_stale_cpu_cache(name: str) -> bool:
+            if name.startswith("cpu-"):
+                return True
+            return len(name) == 16 and all(c in "0123456789abcdef" for c in name)
 
-                    shutil.rmtree(full, ignore_errors=True)
-        except OSError:
-            pass
+        if base == os.path.abspath(_DEFAULT_BASE):
+            try:
+                for d in os.listdir(base):
+                    full = os.path.join(base, d)
+                    if full != path and os.path.isdir(full) and _is_stale_cpu_cache(d):
+                        import shutil
+
+                        shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     else:
         path = os.path.join(base, "tpu")
     jax.config.update("jax_compilation_cache_dir", path)

@@ -20,8 +20,12 @@ def _check_stats(stats):
     # the reference prints exactly these fields (src/bench.rs:173-178)
     assert stats.verified
     assert stats.proof_size > 0
-    for fld in ("vk_time", "pk_time", "proof_time", "verify_time"):
+    for fld in ("vk_time", "pk_time", "proof_time", "verify_time",
+                "keygen_vk_time", "keygen_pk_time", "witness_time"):
         assert getattr(stats, fld) >= 0.0
+    # phase semantics (VERDICT r3 weak #4): vk/pk are the two halves of
+    # keygen, not keygen/witness-synthesis
+    assert abs(stats.keygen_time - (stats.vk_time + stats.pk_time)) < 1e-9
     assert stats.config_params.k >= 1
     text = stats.pretty()
     assert "proof size" in text and "config params" in text

@@ -87,8 +87,29 @@ def _roundtrip_sharded_vs_single(table, lk, K):
     srs = read_or_create_srs(K)
     mesh = make_mesh(8)
 
-    pk_s = keygen_sharded(mesh, table, K, lk, srs)
-    proof_s = create_proof_sharded(mesh, pk_s, table, blinding_seed=b"dist-test")
+    # The distributed prover must ACTUALLY run the sharded MSM for its
+    # commits (round-3 weakness: commits silently fell back to the native
+    # CPU backend before the mesh check; kzg.commit_many now checks the
+    # active mesh first).
+    from paillier_halo2_tpu.mesh import msm as mesh_msm
+
+    calls = {"n": 0}
+    orig = mesh_msm.msm_sharded_multi
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    mesh_msm.msm_sharded_multi = counted
+    try:
+        pk_s = keygen_sharded(mesh, table, K, lk, srs)
+        proof_s = create_proof_sharded(mesh, pk_s, table, blinding_seed=b"dist-test")
+    finally:
+        mesh_msm.msm_sharded_multi = orig
+    assert calls["n"] >= 5, (
+        f"sharded MSM invoked only {calls['n']} times — the distributed "
+        "prover is not sharding its commitments"
+    )
     assert verify_proof(pk_s.vk, srs, proof_s)
 
     pk = keygen(table, K, lk, srs)

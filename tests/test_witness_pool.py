@@ -14,7 +14,10 @@ from paillier_halo2_tpu.gadgets.range import RangeChip
 from paillier_halo2_tpu.harness import PaillierEncryptionInput, paillier_enc_test
 from paillier_halo2_tpu.mock.prover import mock_prove_jax
 
-ENC, LIMB, K, LK = 16, 8, 11, 8
+# K=10 (was 11): the proof test shares the suite's dominant k=10 shape
+# family instead of compiling a one-off k=11 prover graph set (VERDICT r3
+# item 10 — the suite's wall time is XLA:CPU compiles of distinct shapes)
+ENC, LIMB, K, LK = 16, 8, 10, 8
 
 
 def _synth_one(ctx, i):

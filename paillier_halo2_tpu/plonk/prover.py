@@ -25,6 +25,7 @@ import hashlib
 import os
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -160,6 +161,89 @@ def _zh_inv_dev(k: int, k_ext: int) -> jnp.ndarray:
         v = (gn * pow(w_ext, n * i % n_ext, P) - 1) % P
         zh_inv_pattern.append(pow(v, P - 2, P))
     return ops.to_device_mont(list(np.tile(np.array(zh_inv_pattern, dtype=object), n)))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fused_gates(k: int, k_ext: int, q_stack, a_stack, acc, ypow, ym):
+    """Gate-constraint slab fused into ONE dispatch: extended-coset NTTs +
+    q*(a + a(w)a(w2) - a(w3)) + y-Horner fold into acc. Single-chip path
+    only (callers guard on no active mesh; inside jit the NTT router always
+    takes the local device path)."""
+    rate = 1 << (k_ext - k)
+    q_ext = ops.extended_coset_evals(q_stack, k, k_ext)
+    a_ext = ops.extended_coset_evals(a_stack, k, k_ext)
+    rot = lambda e, s: jnp.roll(e, -s * rate, axis=-1)
+    gate = f.add(SPEC, a_ext, f.mont_mul(SPEC, rot(a_ext, 1), rot(a_ext, 2)))
+    gate = f.sub(SPEC, gate, rot(a_ext, 3))
+    c = f.mont_mul(SPEC, q_ext, gate)
+    fold = ops.sum_axis(f.mont_mul(SPEC, c, ypow), 1)
+    return f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused_perm_chunks(k: int, k_ext: int, pcs: int, col_stack, sig_stack,
+                       id_vals, zslab_ext, act_ext, beta_m, gamma_m, one_m,
+                       acc, ypow, ym):
+    """Permutation chunk-update slab fused into ONE dispatch:
+    active * [Z(wX) prod(col + b*sigma + g) - Z(X) prod(col + b*id + g)]
+    with the column/sigma extended NTTs and the id iNTT+ext inside."""
+    rate = 1 << (k_ext - k)
+    col_e = ops.extended_coset_evals(col_stack, k, k_ext)
+    sig_e = ops.extended_coset_evals(sig_stack, k, k_ext)
+    id_e = ops.extended_coset_evals(ops.coeffs_of(id_vals, k), k, k_ext)
+    b3 = beta_m[:, None, :]
+    g3 = gamma_m[:, None, :]
+    fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
+    fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
+    if pcs:
+        n_ext = col_e.shape[-1]
+        ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pcs, n_ext))
+        fs = jnp.concatenate([fs, ones_pad], axis=1)
+        fi = jnp.concatenate([fi, ones_pad], axis=1)
+    lhs = f.mont_mul(
+        SPEC, jnp.roll(zslab_ext, -rate, axis=-1),
+        f.mont_mul(SPEC, fs[:, 0::2], fs[:, 1::2]),
+    )
+    rhs = f.mont_mul(SPEC, zslab_ext, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
+    c = f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs))
+    fold = ops.sum_axis(f.mont_mul(SPEC, c, ypow), 1)
+    return f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _fused_lookups(k: int, k_ext: int, zl_slab_ext, lk_stack, ap_stack,
+                   sp_stack, table_ext, l0_ext, lu_ext, act_ext, beta_m,
+                   gamma_m, one_m, acc, ypow, ym):
+    """Lookup constraint slab (a..e per column) fused into ONE dispatch."""
+    rate = 1 << (k_ext - k)
+    g = lk_stack.shape[1]
+    n_ext = table_ext.shape[-1]
+    lk_ext = ops.extended_coset_evals(lk_stack, k, k_ext)
+    ap_ext = ops.extended_coset_evals(ap_stack, k, k_ext)
+    sp_ext = ops.extended_coset_evals(sp_stack, k, k_ext)
+    zl_ext = zl_slab_ext
+    b3 = beta_m[:, None, :]
+    g3 = gamma_m[:, None, :]
+    one_ext = jnp.broadcast_to(one_m, (32, n_ext))
+    rot = lambda e, s: jnp.roll(e, -s * rate, axis=-1)
+    ca = f.mont_mul(SPEC, l0_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+    cb = f.mont_mul(SPEC, lu_ext[:, None], f.sub(SPEC, zl_ext, one_ext[:, None]))
+    lhs_l = f.mont_mul(
+        SPEC, rot(zl_ext, 1),
+        f.mont_mul(SPEC, f.add(SPEC, ap_ext, b3), f.add(SPEC, sp_ext, g3)),
+    )
+    rhs_l = f.mont_mul(
+        SPEC, zl_ext,
+        f.mont_mul(SPEC, f.add(SPEC, lk_ext, b3), f.add(SPEC, table_ext[:, None], g3)),
+    )
+    cc = f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs_l, rhs_l))
+    d1 = f.sub(SPEC, ap_ext, sp_ext)
+    d2 = f.sub(SPEC, ap_ext, rot(ap_ext, -1))
+    cd = f.mont_mul(SPEC, act_ext[:, None], f.mont_mul(SPEC, d1, d2))
+    ce = f.mont_mul(SPEC, l0_ext[:, None], d1)
+    cstack = jnp.stack([ca, cb, cc, cd, ce], axis=2).reshape(32, g * 5, n_ext)
+    fold = ops.sum_axis(f.mont_mul(SPEC, cstack, ypow), 1)
+    return f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
 
 
 class _Evaluator:
@@ -566,6 +650,28 @@ def _create_proof_inner(
         ym = jnp.asarray(f.pack_ints([pow(y, m, P) * SPEC.r_mod_p % P]))
         acc = f.add(SPEC, f.mont_mul(SPEC, acc, ym), fold)
 
+    # Single-chip ACCELERATOR slabs run FUSED (one jit dispatch per slab:
+    # NTTs + constraint + y-fold — the eager chain's per-op dispatch
+    # overheads were ~half the warm quotient phase over the tunnel).
+    # Mesh-routed proving keeps the eager chain so the four-step NTT's
+    # collectives stay outside jit tracing; CPU keeps it because three more
+    # big XLA:CPU graphs cost more compile than they save (override
+    # PAILLIER_TPU_FUSED_QUOTIENT=1/0 — tests pin fused==eager bytes).
+    env_fused = os.environ.get("PAILLIER_TPU_FUSED_QUOTIENT")
+    if env_fused is not None:
+        fused = env_fused == "1" and ops._ACTIVE_MESH is None
+    else:
+        fused = (
+            ops._ACTIVE_MESH is None and jax.devices()[0].platform != "cpu"
+        )
+
+    def ypow_ym(m):
+        ypow = jnp.asarray(
+            f.pack_ints([pow(y, m - 1 - i, P) * SPEC.r_mod_p % P for i in range(m)])
+        )[:, :, None]
+        ym = jnp.asarray(f.pack_ints([pow(y, m, P) * SPEC.r_mod_p % P]))
+        return ypow, ym
+
     # 1. gates: q_c * (a + a(w) a(w2) - a(w3)) for every advice column.
     # Sliced into column slabs: the whole-width (D, na, n_ext) stacks peak
     # at several GB at k=17 with ~50 columns (round-3 config-4 OOM); the
@@ -573,6 +679,15 @@ def _create_proof_inner(
     # order-preserving across sequential calls, so slabs change nothing.
     for a0 in range(0, na, QG):
         a1 = min(a0 + QG, na)
+        if fused:
+            ypow, ym = ypow_ym(a1 - a0)
+            acc = _fused_gates(
+                k, k_ext,
+                jnp.stack(pk.q_coeffs[a0:a1], axis=1),
+                jnp.stack(adv_coeffs[a0:a1], axis=1),
+                acc, ypow, ym,
+            )
+            continue
         q_ext = ext(jnp.stack(pk.q_coeffs[a0:a1], axis=1))  # (D, g, n_ext)
         a_ext = ext(jnp.stack(adv_coeffs[a0:a1], axis=1))
         gate = f.add(SPEC, a_ext, f.mont_mul(SPEC, rot(a_ext, 1), rot(a_ext, 2)))
@@ -596,13 +711,24 @@ def _create_proof_inner(
     for c0 in range(0, n_chunks, GROUP):
         c1 = min(c0 + GROUP, n_chunks)
         cols = list(range(2 * c0, min(2 * c1, npc)))
+        pcs = (c1 - c0) * 2 - len(cols)
+        if fused:
+            ypow, ym = ypow_ym(c1 - c0)
+            acc = _fused_perm_chunks(
+                k, k_ext, pcs,
+                jnp.stack([perm_col_coeffs(j) for j in cols], axis=1),
+                jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1),
+                id_cols_dev(cols),
+                zp_ext[:, c0:c1], act_ext, beta_m, gamma_m, one_m,
+                acc, ypow, ym,
+            )
+            continue
         col_e = ext(jnp.stack([perm_col_coeffs(j) for j in cols], axis=1))
         id_e = ext(ops.coeffs_of(id_cols_dev(cols), k))
         sig_e = ext(jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1))
         fs = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, sig_e), g3))
         fi = f.add(SPEC, col_e, f.add(SPEC, f.mont_mul(SPEC, b3, id_e), g3))
         del col_e, sig_e, id_e
-        pcs = (c1 - c0) * 2 - len(cols)
         if pcs:  # pad odd column count with multiplicative-identity factors
             ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pcs, n_ext))
             fs = jnp.concatenate([fs, ones_pad], axis=1)
@@ -634,6 +760,18 @@ def _create_proof_inner(
         LG = max(1, QG // 4)
         for i0 in range(0, nl, LG):
             i1 = min(i0 + LG, nl)
+            if fused:
+                ypow, ym = ypow_ym((i1 - i0) * 5)
+                acc = _fused_lookups(
+                    k, k_ext,
+                    ext(zl_stack[:, i0:i1]),
+                    jnp.stack(lk_coeffs[i0:i1], axis=1),
+                    jnp.stack(ap_coeffs[i0:i1], axis=1),
+                    jnp.stack(sp_coeffs[i0:i1], axis=1),
+                    table_ext, l0_ext, lu_ext, act_ext, beta_m, gamma_m,
+                    one_m, acc, ypow, ym,
+                )
+                continue
             zl_ext = ext(zl_stack[:, i0:i1])  # (D, g, n_ext)
             lk_ext = ext(jnp.stack(lk_coeffs[i0:i1], axis=1))
             ap_ext = ext(jnp.stack(ap_coeffs[i0:i1], axis=1))

@@ -82,15 +82,23 @@ def main():
     log(f"keygen {t_keygen:.1f}s (advice columns: {pk.vk.num_advice})")
 
     mesh_n = int(os.environ.get("PAILLIER_TPU_MESH", "0"))
-    t0 = time.monotonic()
-    if mesh_n > 1:
-        from paillier_halo2_tpu.mesh.sharding import make_mesh
-        from paillier_halo2_tpu.plonk.distributed import create_proof_sharded
 
-        proof = create_proof_sharded(make_mesh(mesh_n), pk, table)
-    else:
-        proof = create_proof(pk, table)
+    def prove():
+        if mesh_n > 1:
+            from paillier_halo2_tpu.mesh.sharding import make_mesh
+            from paillier_halo2_tpu.plonk.distributed import create_proof_sharded
+
+            return create_proof_sharded(make_mesh(mesh_n), pk, table)
+        return create_proof(pk, table)
+
+    t0 = time.monotonic()
+    proof = prove()
+    t_cold = time.monotonic() - t0
+    log(f"cold proof: {t_cold:.1f}s")
+    t0 = time.monotonic()
+    proof = prove()
     t_proof = time.monotonic() - t0
+    log(f"warm proof: {t_proof:.1f}s")
     t0 = time.monotonic()
     ok = verify_proof(pk.vk, srs, proof)
     t_verify = time.monotonic() - t0
@@ -105,6 +113,7 @@ def main():
                 "rows": int(table.n_rows),
                 "synth_s": round(t_synth, 2),
                 "keygen_s": round(t_keygen, 2),
+                "proof_cold_s": round(t_cold, 2),
                 "proof_s": round(t_proof, 2),
                 "verify_s": round(t_verify, 3),
                 "proof_bytes": len(proof),

@@ -565,6 +565,9 @@ def _create_proof_inner(
         z_slab = f.mont_mul(SPEC, shifted, start_m)  # z[c, usable] = end_c*start_c
         z_slab = z_slab.at[:, :, usable + 1 :].set(zp_blind_dev[:, c0:c1])
         zp_parts.append(ops.coeffs_of(z_slab, k))
+    # free the grand-product value-form temporaries before the HBM-peak
+    # quotient phase (pref_slabs alone is C base-domain columns)
+    del pref_slabs, ends_dev, ends_all, pp_ends, zp_blind_dev
     _mark("perm Z computed")
 
     zp_stack = zp_parts[0] if len(zp_parts) == 1 else jnp.concatenate(zp_parts, axis=1)
@@ -672,13 +675,19 @@ def _create_proof_inner(
         ym = jnp.asarray(f.pack_ints([pow(y, m, P) * SPEC.r_mod_p % P]))
         return ypow, ym
 
+    # Fused graphs contain SEVERAL batched extended NTTs whose ~20x
+    # transients XLA does not serialize against each other (the k=17 B=16
+    # run OOM'd in the fused gates phase with the eager-budget slabs), so
+    # fused slab widths divide by the NTT count per graph.
+    QG_F = max(1, QG // 2)  # _fused_gates: q + a extended NTTs
+    GROUP_F = max(1, GROUP // 3)  # _fused_perm_chunks: col + sig + id
     # 1. gates: q_c * (a + a(w) a(w2) - a(w3)) for every advice column.
     # Sliced into column slabs: the whole-width (D, na, n_ext) stacks peak
     # at several GB at k=17 with ~50 columns (round-3 config-4 OOM); the
     # per-column constraint is column-local and emit_many is
     # order-preserving across sequential calls, so slabs change nothing.
-    for a0 in range(0, na, QG):
-        a1 = min(a0 + QG, na)
+    for a0 in range(0, na, QG_F if fused else QG):
+        a1 = min(a0 + (QG_F if fused else QG), na)
         if fused:
             ypow, ym = ypow_ym(a1 - a0)
             acc = _fused_gates(
@@ -708,8 +717,8 @@ def _create_proof_inner(
     emit_many(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[:, 0], one_ext))[:, None])
     # 3. chunk updates: active * [Z(wX) prod(col+b*sig+g) - Z prod(col+b*id+g)]
     # — same chunk slabs as phase 3 above (whole-width n_ext stacks OOM).
-    for c0 in range(0, n_chunks, GROUP):
-        c1 = min(c0 + GROUP, n_chunks)
+    for c0 in range(0, n_chunks, GROUP_F if fused else GROUP):
+        c1 = min(c0 + (GROUP_F if fused else GROUP), n_chunks)
         cols = list(range(2 * c0, min(2 * c1, npc)))
         pcs = (c1 - c0) * 2 - len(cols)
         if fused:
@@ -757,7 +766,9 @@ def _create_proof_inner(
     # order within and across emit_many calls is unchanged)
     if nl:
         table_ext = ext(pk.table_coeffs)
-        LG = max(1, QG // 4)
+        # 3 extended NTTs (lk/ap/sp) inside the fused graph + 5 constraint
+        # rows per column either way
+        LG = max(1, QG // 12) if fused else max(1, QG // 4)
         for i0 in range(0, nl, LG):
             i1 = min(i0 + LG, nl)
             if fused:

@@ -288,9 +288,43 @@ def main():
                 table = ctx.finalize()
                 log(f"proof circuit: {table.n_rows} rows, k={K}")
                 srs_p = read_or_create_srs(K)
-                t0 = time.monotonic()
-                pk = keygen(table, K, LK, srs_p)
-                t_keygen = time.monotonic() - t0
+                # keygen under its OWN sub-deadline with a disk fallback:
+                # the axon service's keygen-phase latency varies 353 s ->
+                # 2299 s across windows (observed round 4); the bench
+                # circuit is seed-deterministic, so a pk cached by an
+                # earlier healthy run is byte-equivalent. A timed-out fresh
+                # keygen falls back to the cache instead of eating the
+                # whole proof budget.
+                from paillier_halo2_tpu.plonk.serialize import (
+                    load_proving_key,
+                    save_proving_key,
+                )
+
+                pk_cache = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "params",
+                    f"pk_bench_k{K}_enc{ENC}.npz",
+                )
+                pk, t_keygen = None, None
+                kg_budget = min(700.0, max(120.0, remaining() * 0.4))
+                try:
+                    with deadline(kg_budget, "keygen"):
+                        t0 = time.monotonic()
+                        pk = keygen(table, K, LK, srs_p)
+                        t_keygen = time.monotonic() - t0
+                    if not os.path.exists(pk_cache):
+                        try:
+                            save_proving_key(pk, pk_cache)
+                        except Exception as e:
+                            log(f"pk cache save failed: {e}")
+                except PhaseTimeout:
+                    log("** keygen timed out")
+                    extras["keygen_timeout"] = True
+                    if os.path.exists(pk_cache):
+                        log("loading cached proving key instead")
+                        pk = load_proving_key(pk_cache, srs_p)
+                if pk is None:
+                    raise PhaseTimeout("keygen (no cached pk)")
                 t0 = time.monotonic()
                 proof = create_proof(pk, table)
                 t_cold = time.monotonic() - t0
@@ -316,7 +350,7 @@ def main():
                 t_verify = time.monotonic() - t0
                 extras.update(
                     proof_verified=bool(ok),
-                    keygen_s=round(t_keygen, 2),
+                    keygen_s=round(t_keygen, 2) if t_keygen is not None else None,
                     proof_cold_s=round(t_cold, 2),
                     proof_s=round(t_proof, 2),
                     verify_s=round(t_verify, 3),
@@ -325,8 +359,9 @@ def main():
                     proof_k=K,
                     proof_enc_bits=ENC,
                 )
+                kg_str = f"{t_keygen:.1f}s" if t_keygen is not None else "cached"
                 log(
-                    f"k={K} enc128 proof: keygen={t_keygen:.1f}s cold={t_cold:.1f}s "
+                    f"k={K} enc128 proof: keygen={kg_str} cold={t_cold:.1f}s "
                     f"warm={t_proof:.1f}s verify={t_verify:.2f}s ok={ok} "
                     f"-> {1.0/t_proof:.4f} proofs/s"
                 )

@@ -87,15 +87,16 @@ def _device_hbm_bytes() -> float:
     if env is not None:
         return float(env) * (1 << 30)
     try:
-        import jax
-
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
         if limit and limit > (1 << 30):
             return float(limit)
     except Exception:
         pass
-    return 12.0 * (1 << 30)
+    # Conservative default: the axon tunnel chip reports no memory_stats and
+    # empirically rejects allocations well below the v5e spec 16 GB (the
+    # k=17 B=16 run OOM'd with a 12 GB budget in phases the budget said fit).
+    return 8.0 * (1 << 30)
 
 
 def _slab_sizes(n_ext: int) -> tuple[int, int]:
@@ -712,9 +713,16 @@ def _create_proof_inner(
     b3 = beta_m[:, None, :]
     g3 = gamma_m[:, None, :]
 
-    zp_ext = ext(zp_stack)  # (D, C, n_ext)
+    # Z-poly extended evals are recomputed PER SLAB (one cheap NTT each)
+    # instead of holding the whole (D, C, n_ext) stack resident — at 27
+    # chunks that stack alone is 1.8 GB of HBM through the peak phase.
+    def zp_ext_slab(c0: int, c1: int) -> jnp.ndarray:
+        return ops.extended_coset_evals(zp_stack[:, c0:c1], k, k_ext)
+
     # 2. l_0 * (Z_0 - 1)
-    emit_many(f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext[:, 0], one_ext))[:, None])
+    emit_many(
+        f.mont_mul(SPEC, l0_ext, f.sub(SPEC, zp_ext_slab(0, 1)[:, 0], one_ext))[:, None]
+    )
     # 3. chunk updates: active * [Z(wX) prod(col+b*sig+g) - Z prod(col+b*id+g)]
     # — same chunk slabs as phase 3 above (whole-width n_ext stacks OOM).
     for c0 in range(0, n_chunks, GROUP_F if fused else GROUP):
@@ -728,7 +736,7 @@ def _create_proof_inner(
                 jnp.stack([perm_col_coeffs(j) for j in cols], axis=1),
                 jnp.stack([pk.sigma_coeffs[j] for j in cols], axis=1),
                 id_cols_dev(cols),
-                zp_ext[:, c0:c1], act_ext, beta_m, gamma_m, one_m,
+                zp_ext_slab(c0, c1), act_ext, beta_m, gamma_m, one_m,
                 acc, ypow, ym,
             )
             continue
@@ -742,7 +750,7 @@ def _create_proof_inner(
             ones_pad = jnp.broadcast_to(one_m[:, None, :], (32, pcs, n_ext))
             fs = jnp.concatenate([fs, ones_pad], axis=1)
             fi = jnp.concatenate([fi, ones_pad], axis=1)
-        zslab = zp_ext[:, c0:c1]
+        zslab = zp_ext_slab(c0, c1)
         lhs = f.mont_mul(SPEC, rot(zslab, 1), f.mont_mul(SPEC, fs[:, 0::2], fs[:, 1::2]))
         rhs = f.mont_mul(SPEC, zslab, f.mont_mul(SPEC, fi[:, 0::2], fi[:, 1::2]))
         emit_many(f.mont_mul(SPEC, act_ext[:, None], f.sub(SPEC, lhs, rhs)))
@@ -751,14 +759,17 @@ def _create_proof_inner(
     # term only touches adjacent chunks
     for c0 in range(0, n_chunks - 1, GROUP):
         c1 = min(c0 + GROUP, n_chunks - 1)
-        chain = f.sub(
-            SPEC, zp_ext[:, c0 + 1 : c1 + 1], rot(zp_ext[:, c0:c1], usable)
-        )
+        zslab_w = zp_ext_slab(c0, c1 + 1)  # chunks c0..c1 inclusive
+        chain = f.sub(SPEC, zslab_w[:, 1:], rot(zslab_w[:, :-1], usable))
         emit_many(f.mont_mul(SPEC, l0_ext[:, None], chain))
-        del chain
+        del chain, zslab_w
     # 5. closing: l_u * (Z_last - 1)
-    emit_many(f.mont_mul(SPEC, lu_ext, f.sub(SPEC, zp_ext[:, -1], one_ext))[:, None])
-    del zp_ext
+    emit_many(
+        f.mont_mul(
+            SPEC, lu_ext,
+            f.sub(SPEC, zp_ext_slab(n_chunks - 1, n_chunks)[:, 0], one_ext),
+        )[:, None]
+    )
 
     _mark("perm constraints emitted")
     # 6. lookups: per column, constraints (a..e) in order, columns outermost

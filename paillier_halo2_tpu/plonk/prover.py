@@ -896,6 +896,7 @@ def _create_proof_inner(
     pw_inv = ops.powers_dev(zinvs, n)
     EV_SLAB = int(os.environ.get("PAILLIER_TPU_EVAL_SLAB", str(max(4 * QG, 8))))
     ev_parts = []
+    n_enqueued = 0
     for si, (key, polys) in enumerate(opening_sets):
         row = pw[:, si : si + 1, :]
         for c0 in range(0, len(polys), EV_SLAB):
@@ -903,6 +904,12 @@ def _create_proof_inner(
             ev_parts.append(
                 ops._sum_reduce(f.mont_mul(SPEC, stacked, row))[..., 0]
             )
+            # backpressure: async enqueues each hold a slab-sized stack +
+            # product transient; unbounded pileup OOM'd HBM at k=17 (the
+            # d2h below materializes everything at once otherwise)
+            n_enqueued += 1
+            if n_enqueued % 3 == 0:
+                jax.block_until_ready(ev_parts[-1])
     all_ev_flat = (
         ops.from_device_mont(jnp.concatenate(ev_parts, axis=1)) if ev_parts else []
     )
@@ -918,7 +925,9 @@ def _create_proof_inner(
     _mark("evals written")
 
     def fold_slabbed(polys, coefs_mont):
-        """sum_j coefs[j] * polys[j] on device, slabbed (coefs packed (D,m,1))."""
+        """sum_j coefs[j] * polys[j] on device, slabbed (coefs packed
+        (D,m,1)); blocks per slab past the first (HBM backpressure — see the
+        eval loop above)."""
         acc_c = None
         for c0 in range(0, len(polys), EV_SLAB):
             part = ops.sum_axis(
@@ -930,6 +939,8 @@ def _create_proof_inner(
                 1,
             )
             acc_c = part if acc_c is None else f.add(SPEC, acc_c, part)
+            if c0 > 0:
+                jax.block_until_ready(acc_c)
         return acc_c
 
     zeros1 = jnp.zeros((32, 1), jnp.uint32)

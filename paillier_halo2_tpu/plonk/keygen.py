@@ -183,7 +183,27 @@ def keygen(table: VirtualTable, k: int, lookup_bits: int, srs: SRS) -> ProvingKe
         + [sigma_values[j] for j in range(n_perm_cols)]
         + [active_vals, l0_vals, lu_vals]
     )
-    all_coeffs = ops.coeffs_of(ops.to_device_mont(fixed_stack), k)
+    # Slab the batched iNTT: at k=17 with ~170 fixed columns the whole-stack
+    # transform's ~20x transient needs 18 GB (the 512-bit keygen OOM'd the
+    # 15.75 GB chip at COMPILE time). Values identical; one NTT per slab.
+    from .prover import _device_hbm_bytes
+
+    col_bytes = 32 * 4 * n
+    ch = max(1, int(0.7 * _device_hbm_bytes() / (20 * col_bytes)))
+    stack_dev = ops.to_device_mont(fixed_stack)
+    m_total = stack_dev.shape[1]
+    if m_total <= ch:
+        all_coeffs = ops.coeffs_of(stack_dev, k)
+    else:
+        import jax
+
+        parts = []
+        for c0 in range(0, m_total, ch):
+            parts.append(ops.coeffs_of(stack_dev[:, c0 : c0 + ch], k))
+            jax.block_until_ready(parts[-1])  # HBM backpressure
+        all_coeffs = jnp.concatenate(parts, axis=1)
+        del parts
+    del stack_dev
     _mark("fixed coeffs (batched iNTT)")
     q_coeffs = [all_coeffs[:, i] for i in range(na)]
     fixed_const_coeffs = all_coeffs[:, na]

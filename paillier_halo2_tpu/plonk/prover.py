@@ -93,9 +93,12 @@ def _device_hbm_bytes() -> float:
             return float(limit)
     except Exception:
         pass
-    # Conservative default: the axon tunnel chip reports no memory_stats and
-    # empirically rejects allocations well below the v5e spec 16 GB (the
-    # k=17 B=16 run OOM'd with a 12 GB budget in phases the budget said fit).
+    # Conservative default: the chip's real capacity is 15.75 GB (from the
+    # remote compiler's OOM report), but the budget must also absorb
+    # resident polys, allocator fragmentation, and async-enqueue pileup that
+    # the per-phase formulas do not model — 12 GB budgets OOM'd the k=17
+    # B=16 run twice; 8 GB (PAILLIER_TPU_HBM_GB=5 for extra margin)
+    # completed it. Override per-run when tuning.
     return 8.0 * (1 << 30)
 
 

@@ -15,10 +15,19 @@ bench.rs:173-178):
   lookup 13 — /root/reference/src/bench.rs:161-179), full keygen + KZG
   prove + verify.
 
-Robustness (the round-2 run died rc=124 with no JSON): every phase runs
+Robustness (round-2 died rc=124 with no JSON; round-4 died to the driver's
+EXTERNAL kill mid-proof-compile, which SIGALRM cannot interrupt while the
+interpreter is blocked inside a native XLA compile call): every phase runs
 under a SIGALRM deadline carved out of one global budget (BENCH_BUDGET_S,
-default 1500 s); a phase that overruns is abandoned and recorded as
-"<phase>_timeout", and the JSON line prints no matter what.
+default 900 s — deliberately under the driver window), AND a provisional
+JSON line is printed after EVERY completed phase. The driver parses the
+LAST JSON line on stdout, so a kill at any point still yields the metrics
+measured so far instead of parsed=null.
+
+The proof phase is cache-first: a proving key saved by an earlier healthy
+run is loaded when its structural fingerprint matches the freshly
+synthesized circuit (plonk/serialize.table_fingerprint — ADVICE r4), so
+keygen never eats the proof budget. BENCH_FORCE_KEYGEN=1 forces fresh.
 
 vs_baseline compares MSM points/s to the previous round's recorded value
 (scaled by size when the previous round measured 2^17).
@@ -34,7 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 
 
 def log(msg):
@@ -92,6 +101,45 @@ def main():
     extras = {}
     msm_points_per_s = 0.0
 
+    def vs_baseline() -> float:
+        vs = 1.0
+        prev = sorted(
+            glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+        )
+        for pth in reversed(prev):
+            try:
+                with open(pth) as fh:
+                    last = json.load(fh)
+                pv = last.get("parsed") or {}
+                if (
+                    pv.get("unit") == "points/s/chip"
+                    and pv.get("value")
+                    and msm_points_per_s
+                ):
+                    vs = msm_points_per_s / float(pv["value"])
+                    break
+            except Exception:
+                continue
+        return vs
+
+    def emit(phase_done: str) -> None:
+        """Print the full JSON line with everything measured so far. Called
+        after every phase: the driver parses the LAST line on stdout, so an
+        external kill mid-phase still leaves a complete provisional result."""
+        extras["last_phase_done"] = phase_done
+        print(
+            json.dumps(
+                {
+                    "metric": "msm_points_per_s_2^20",
+                    "value": round(msm_points_per_s, 1),
+                    "unit": "points/s/chip",
+                    "vs_baseline": round(vs_baseline(), 3),
+                    **extras,
+                }
+            ),
+            flush=True,
+        )
+
     # sync via a tiny d2h readback: over the axon tunnel block_until_ready
     # can return before compute finishes, inflating throughput ~100x
     sync = lambda x: np.asarray(x[0, :1])
@@ -141,6 +189,7 @@ def main():
     except PhaseTimeout as e:
         log(f"** phase timed out: {e}")
         extras["mulmod_timeout"] = True
+    emit("mulmod")
 
     # lazy-representation mulmod (int16 digit I/O — the format the fused
     # point kernels actually run; ff/lazy_mont.py): 192 B/lane instead of
@@ -181,6 +230,7 @@ def main():
         except PhaseTimeout as e:
             log(f"** phase timed out: {e}")
             extras["mulmod_lazy_timeout"] = True
+        emit("mulmod_lazy")
 
     # ---- MSM throughput at 2^20 (validated) -------------------------------
     try:
@@ -253,6 +303,7 @@ def main():
     except PhaseTimeout as e:
         log(f"** phase timed out: {e}")
         extras["msm_timeout"] = True
+    emit("msm")
 
     # ---- proofs/sec on the reference bench geometry -----------------------
     # ENC=128/LIMB=64, k=14, lookup 13: /root/reference/src/bench.rs:161-179
@@ -288,47 +339,63 @@ def main():
                 table = ctx.finalize()
                 log(f"proof circuit: {table.n_rows} rows, k={K}")
                 srs_p = read_or_create_srs(K)
-                # keygen under its OWN sub-deadline with a disk fallback:
-                # the axon service's keygen-phase latency varies 353 s ->
-                # 2299 s across windows (observed round 4); the bench
-                # circuit is seed-deterministic, so a pk cached by an
-                # earlier healthy run is byte-equivalent. A timed-out fresh
-                # keygen falls back to the cache instead of eating the
-                # whole proof budget.
+                # Cache-first keygen: the bench circuit is seed-deterministic,
+                # so a pk saved by an earlier healthy run is byte-equivalent —
+                # IF its structural fingerprint matches the freshly
+                # synthesized table (ADVICE r4: filename-only keying silently
+                # loads stale keys across layout changes). The axon service's
+                # keygen latency varies 151 s -> 888 s across windows (round-4
+                # HEAVY_RUNS), so never spend the proof budget on keygen when
+                # a verified cache exists.
                 from paillier_halo2_tpu.plonk.serialize import (
                     load_proving_key,
                     save_proving_key,
+                    table_fingerprint,
                 )
 
+                table_fp = table_fingerprint(table, K, LK)
                 pk_cache = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     "params",
                     f"pk_bench_k{K}_enc{ENC}.npz",
                 )
                 pk, t_keygen = None, None
-                kg_budget = min(700.0, max(120.0, remaining() * 0.4))
-                try:
-                    with deadline(kg_budget, "keygen"):
-                        t0 = time.monotonic()
-                        pk = keygen(table, K, LK, srs_p)
-                        t_keygen = time.monotonic() - t0
-                    if not os.path.exists(pk_cache):
+                if (
+                    os.path.exists(pk_cache)
+                    and os.environ.get("BENCH_FORCE_KEYGEN") != "1"
+                ):
+                    try:
+                        pk = load_proving_key(pk_cache, srs_p, expect_table_fp=table_fp)
+                        extras["keygen_cached"] = True
+                        log(f"loaded cached pk (fingerprint {table_fp})")
+                    except Exception as e:
+                        log(f"pk cache unusable ({e}); fresh keygen")
+                if pk is None:
+                    kg_budget = min(700.0, max(120.0, remaining() * 0.5))
+                    try:
+                        with deadline(kg_budget, "keygen"):
+                            t0 = time.monotonic()
+                            pk = keygen(table, K, LK, srs_p)
+                            t_keygen = time.monotonic() - t0
                         try:
-                            save_proving_key(pk, pk_cache)
+                            save_proving_key(pk, pk_cache, table_fp=table_fp)
                         except Exception as e:
                             log(f"pk cache save failed: {e}")
-                except PhaseTimeout:
-                    log("** keygen timed out")
-                    extras["keygen_timeout"] = True
-                    if os.path.exists(pk_cache):
-                        log("loading cached proving key instead")
-                        pk = load_proving_key(pk_cache, srs_p)
+                    except PhaseTimeout:
+                        log("** keygen timed out")
+                        extras["keygen_timeout"] = True
                 if pk is None:
                     raise PhaseTimeout("keygen (no cached pk)")
+                emit("keygen")
                 t0 = time.monotonic()
                 proof = create_proof(pk, table)
                 t_cold = time.monotonic() - t0
                 log(f"cold proof: {t_cold:.1f}s")
+                extras["proof_cold_s"] = round(t_cold, 2)
+                extras["keygen_s"] = (
+                    round(t_keygen, 2) if t_keygen is not None else None
+                )
+                emit("proof_cold")
                 from paillier_halo2_tpu.poly import ops as _ops
 
                 _ops.reset_transfer_counts()
@@ -391,32 +458,7 @@ def main():
     except Exception:
         pass
 
-    # ---- vs_baseline: previous round's MSM value --------------------------
-    vs = 1.0
-    prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    for pth in reversed(prev):
-        try:
-            with open(pth) as fh:
-                last = json.load(fh)
-            pv = last.get("parsed") or {}
-            if pv.get("unit") == "points/s/chip" and pv.get("value") and msm_points_per_s:
-                vs = msm_points_per_s / float(pv["value"])
-                break
-        except Exception:
-            continue
-
-    print(
-        json.dumps(
-            {
-                "metric": "msm_points_per_s_2^20",
-                "value": round(msm_points_per_s, 1),
-                "unit": "points/s/chip",
-                "vs_baseline": round(vs, 3),
-                **extras,
-            }
-        ),
-        flush=True,
-    )
+    emit("final")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,21 @@ P = host.FR_MOD
 SPEC = f.FR
 
 
+def _selfcheck() -> bool:
+    """Heavy in-flight algebraic self-checks (SHPLONK L(u), quotient degree
+    tail, GWC evaluator): opt-IN via PAILLIER_TPU_SELFCHECK=1."""
+    return os.environ.get("PAILLIER_TPU_SELFCHECK", "") not in ("", "0")
+
+
+def _closing_check() -> bool:
+    """Cheap grand-product closing assertions (one tiny single-lane d2h
+    each): ON by default, so create_proof on an unsatisfiable witness fails
+    fast with a localizing message instead of silently emitting an invalid
+    proof (ADVICE r4). Opt-OUT with PAILLIER_TPU_SELFCHECK=0 to benchmark
+    the absolute minimal-sync path (d2h readbacks per proof drop by 2)."""
+    return os.environ.get("PAILLIER_TPU_SELFCHECK", "") != "0"
+
+
 def _blind_tail(vals: np.ndarray, usable: int, seed: bytes, tag: bytes) -> np.ndarray:
     out = vals.copy()
     n = len(out)
@@ -80,9 +95,10 @@ def _permuted_lookup(a_active: np.ndarray, lookup_bits: int, usable: int):
 
 def _device_hbm_bytes() -> float:
     """Accelerator memory budget, preferring what the DEVICE reports over any
-    env default (round-3 driver regression: the 12 GB default over-slabbed
+    env default (round-3 driver regression: a too-large default over-slabbed
     k=14 in an environment whose chip actually had 16 GB). Precedence:
-    PAILLIER_TPU_HBM_GB env > device memory_stats > 12 GB."""
+    PAILLIER_TPU_HBM_GB env > device memory_stats > 8 GB default (see the
+    comment below on why the default sits well under the 15.75 GB capacity)."""
     env = os.environ.get("PAILLIER_TPU_HBM_GB")
     if env is not None:
         return float(env) * (1 << 30)
@@ -97,8 +113,9 @@ def _device_hbm_bytes() -> float:
     # remote compiler's OOM report), but the budget must also absorb
     # resident polys, allocator fragmentation, and async-enqueue pileup that
     # the per-phase formulas do not model — 12 GB budgets OOM'd the k=17
-    # B=16 run twice; 8 GB (PAILLIER_TPU_HBM_GB=5 for extra margin)
-    # completed it. Override per-run when tuning.
+    # B=16 run twice; the run that completed it used this 8 GB default
+    # further tightened to PAILLIER_TPU_HBM_GB=5 for margin. Override
+    # per-run when tuning.
     return 8.0 * (1 << 30)
 
 
@@ -373,7 +390,7 @@ def _shplonk_open(pk, tr, opening_sets, all_evals, points, pw, pw_inv, zinvs,
     big_l = fold_slabbed(F_list + [h_acc], coefs)
     c_m = jnp.asarray(f.pack_ints([c * SPEC.r_mod_p % P]))
     big_l = jnp.concatenate([f.sub(SPEC, big_l[:, :1], c_m), big_l[:, 1:]], axis=1)
-    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+    if _selfcheck():
         lu = ops.eval_at(big_l, u)
         print(f"[selfcheck] shplonk L(u) == 0: {lu == 0}", flush=True)
         assert lu == 0, "shplonk L(u) != 0"
@@ -546,7 +563,7 @@ def _create_proof_inner(
     starts_dev = jnp.concatenate(
         [jnp.broadcast_to(one_m[:, :1], (32, 1)), pp_ends[:, :-1]], axis=1
     )
-    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+    if _closing_check():
         closing = ops.from_device_mont(pp_ends[:, -1:])[0]
         assert closing == 1, (
             "permutation product does not close (copy constraints unsatisfied?)"
@@ -594,7 +611,7 @@ def _create_proof_inner(
             act_dev[None, None, :], frac_l, jnp.broadcast_to(one_m[:, None, :], frac_l.shape)
         )
         pref_l = ops.prefix_product(frac_l)
-        if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+        if _closing_check():
             ends_l = ops.from_device_mont(pref_l[:, :, usable - 1 : usable])
             assert all(e == 1 for e in ends_l), "lookup product does not close (lookup unsatisfied?)"
         shifted_l = jnp.concatenate(
@@ -830,7 +847,7 @@ def _create_proof_inner(
     _mark("quotient divided")
     t_coeffs = ops.coeffs_from_extended(t_ext, k, k_ext)
     n_pieces = 3  # max constraint degree 4 -> deg(t) <= 3n - 4
-    if os.environ.get("PAILLIER_TPU_SELFCHECK"):
+    if _selfcheck():
         tail = ops.from_device_mont(t_coeffs[:, n_pieces * n :])
         n_bad = sum(1 for v in tail if v != 0)
         print(
@@ -976,7 +993,7 @@ def _create_proof_inner(
     # the device power tables above — no host power loops, no per-set
     # division dispatch chains.
     nu = tr.squeeze_challenge()
-    ev = _Evaluator(n) if os.environ.get("PAILLIER_TPU_SELFCHECK") else None
+    ev = _Evaluator(n) if _selfcheck() else None
     acc_list, acc_rows = [], []
     for si, (key, polys) in enumerate(opening_sets):
         if not polys:

@@ -10,6 +10,7 @@ same little-endian digit convention as the device representation
 """
 from __future__ import annotations
 
+import hashlib
 import json
 
 import jax.numpy as jnp
@@ -22,6 +23,28 @@ from .layout import CircuitLayout
 from .srs import SRS
 
 _POINT_NONE = (0, 0, 1)  # x, y, is_infinity
+
+
+def table_fingerprint(table, k: int, lookup_bits: int) -> str:
+    """Structural fingerprint of (circuit, k, lookup_bits) for pk-cache
+    validation (ADVICE r4: a cached pk keyed by filename alone can go stale
+    across layout-affecting code changes). Hashes everything keygen depends
+    on — gate/copy/constant/lookup/public positions and the constant
+    values — but NOT witness values, which vary per statement without
+    affecting the key. Bump the `v` prefix on any layout-semantics change."""
+    h = hashlib.blake2b(digest_size=16)
+    h.update(f"v1|{k}|{lookup_bits}|{table.n_rows}|".encode())
+    for arr in (
+        table.gates,
+        table.copy_a,
+        table.copy_b,
+        table.const_idx,
+        table.lookups,
+        table.publics,
+    ):
+        h.update(np.ascontiguousarray(arr, dtype=np.int64).tobytes())
+    h.update(ops.pack_values(table.const_val).tobytes())
+    return h.hexdigest()
 
 
 def _points_pack(points) -> np.ndarray:
@@ -56,9 +79,10 @@ def _obj_unpack(d: np.ndarray) -> np.ndarray:
     return np.array(vals, dtype=object).reshape(shape)
 
 
-def save_proving_key(pk: ProvingKey, path: str) -> None:
+def save_proving_key(pk: ProvingKey, path: str, table_fp: str | None = None) -> None:
     vk, layout = pk.vk, pk.layout
     meta = {
+        "table_fp": table_fp,
         "k": vk.k,
         "lookup_bits": vk.lookup_bits,
         "num_advice": vk.num_advice,
@@ -101,10 +125,21 @@ def save_proving_key(pk: ProvingKey, path: str) -> None:
     )
 
 
-def load_proving_key(path: str, srs: SRS) -> ProvingKey:
+def load_proving_key(
+    path: str, srs: SRS, expect_table_fp: str | None = None
+) -> ProvingKey:
+    """Load a serialized proving key. When ``expect_table_fp`` is given, the
+    stored fingerprint must match (a key saved without one never matches) —
+    raises ValueError otherwise, so callers fall back to fresh keygen instead
+    of proving with a stale layout."""
     z = np.load(path)
     meta = json.loads(bytes(z["meta"]).decode())
     assert srs.k >= meta["srs_k"], "SRS smaller than the one the key was built with"
+    if expect_table_fp is not None and meta.get("table_fp") != expect_table_fp:
+        raise ValueError(
+            f"proving-key cache {path} fingerprint mismatch: "
+            f"stored={meta.get('table_fp')} expected={expect_table_fp}"
+        )
     fixed2 = _points_unpack(z["fixed_commits"])
     vk = VerifyingKey(
         k=meta["k"],

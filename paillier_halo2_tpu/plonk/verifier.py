@@ -320,7 +320,7 @@ def _verify(
     lhs_pt = None
     rhs_pt = None
     upow = 1
-    selfcheck = os.environ.get("PAILLIER_TPU_SELFCHECK")
+    selfcheck = os.environ.get("PAILLIER_TPU_SELFCHECK", "") not in ("", "0")
     for (key, pairs), wc in zip(opening_sets, w_commits):
         z = points[key]
         fj = None

@@ -52,3 +52,23 @@ def test_sharded_msm_matches_host():
     sd = f.pack_ints([s % ech.R for s in scalars])
     got = msm_sharded(mesh, px, py, pinf, sd, window_bits=4)
     assert got == ech.g1_msm(pts, scalars)
+
+
+def test_sharded_msm_signed_lazy_path(monkeypatch):
+    """The signed/lazy sharded-MSM branch (mesh/msm.py — the path real TPU
+    meshes take) validated on the CPU virtual mesh: PAILLIER_TPU_LAZY=1
+    routes the bucket loop through the lazy point kernels in Pallas
+    interpret mode, and PAILLIER_TPU_MSM_SIGNED forces signed windows
+    (ADVICE r4 medium: this commitment-path branch otherwise only executes
+    on real multi-chip hardware, which CI never has)."""
+    monkeypatch.setenv("PAILLIER_TPU_LAZY", "1")
+    monkeypatch.setenv("PAILLIER_TPU_MSM_SIGNED", "4")
+    mesh = make_mesh(4)
+    n = 16
+    rng = random.Random(77)
+    pts = [ech.g1_mul(ech.G1, rng.randrange(1, ech.R)) for _ in range(n)]
+    scalars = [rng.randrange(ech.R) for _ in range(n)]
+    px, py, pinf = bn254.pack_affine(pts)
+    sd = f.pack_ints([s % ech.R for s in scalars])
+    got = msm_sharded(mesh, px, py, pinf, sd)
+    assert got == ech.g1_msm(pts, scalars)

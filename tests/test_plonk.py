@@ -115,6 +115,44 @@ def test_quotient_degree_selfcheck_multicolumn(monkeypatch):
     assert verify_proof(pk.vk, srs, proof)
 
 
+def test_gwc_multiopen_roundtrip(proof_setup, monkeypatch):
+    """The legacy GWC multi-open prover/verifier pair (selected by keys with
+    vk.multiopen == 'gwc' — every pre-round-4 serialized key deserializes to
+    it, plonk/serialize.py) must stay proof-roundtrip-correct even though
+    keygen now defaults to SHPLONK (ADVICE r4: the rewritten GWC path had
+    zero coverage)."""
+    srs, _, _, table = proof_setup
+    monkeypatch.setenv("PAILLIER_TPU_MULTIOPEN", "gwc")
+    pk = keygen(table, K, LOOKUP_BITS, srs)
+    assert pk.vk.multiopen == "gwc"
+    # selfcheck also exercises the GWC fold/division identities in-flight
+    monkeypatch.setenv("PAILLIER_TPU_SELFCHECK", "1")
+    proof = create_proof(pk, table, blinding_seed=b"gwc-check")
+    assert verify_proof(pk.vk, srs, proof)
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 1
+    assert not verify_proof(pk.vk, srs, bytes(bad))
+
+
+def test_unsatisfiable_witness_fails_fast(proof_setup):
+    """create_proof on a tampered (unsatisfiable) witness must raise the
+    localizing closing-check assertion by default — not silently emit an
+    invalid proof (ADVICE r4: the checks were accidentally gated behind
+    PAILLIER_TPU_SELFCHECK)."""
+    import dataclasses
+
+    import numpy as np
+
+    _, pk, _, table = proof_setup
+    values = np.array(table.values, dtype=object, copy=True)
+    # break a copy constraint: make two copy-linked cells disagree
+    a, b = int(table.copy_a[0]), int(table.copy_b[0])
+    values[b] = (int(values[b]) + 1) % (1 << 8)
+    bad_table = dataclasses.replace(table, values=values)
+    with pytest.raises(AssertionError, match="unsatisfied"):
+        create_proof(pk, bad_table, blinding_seed=b"bad-witness")
+
+
 def test_tampered_proof_rejected(proof_setup):
     srs, pk, proof, _ = proof_setup
     for pos in [0, len(proof) // 2, len(proof) - 1]:

@@ -16,6 +16,50 @@ from ..ec import host as ech
 from ..msm import pippenger as pip
 
 
+@functools.lru_cache(maxsize=64)
+def _local_buckets_fn(mesh, axes, signed: bool, n_buckets: int,
+                      subs_all: tuple, bcaps_all: tuple | None):
+    """Cached shard_map program for the per-chip bucket accumulation.
+
+    Defining the shard_map inside msm_sharded_multi made EVERY call re-trace
+    and re-lower the whole n-device program (~36 s per call on the 8-thread
+    virtual mesh — measured round 5; the r4 driver dryrun spent ~80% of its
+    wall time here across ~20 commit calls). jax.jit caches by function
+    identity, so the decorated callable must be built once per
+    (mesh, schedule) and reused."""
+    if not signed:
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes)),
+            out_specs=P(None, axes, None, None, None),
+            check_vma=False,
+        )
+        def local_buckets(lpx, lpy, lpinf, lkeys):
+            acc = pip._bucket_impl(
+                lpx, lpy, lpinf, lkeys, None, n_buckets, subs_all, bcaps_all
+            )
+            return jnp.stack(acc)[:, None]  # (3, 1, 32, P*W, B) per device
+
+        return jax.jit(local_buckets)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes), P(None, axes)),
+        out_specs=P(None, axes, None, None, None),
+        check_vma=False,
+    )
+    def local_buckets_signed(lpx, lpy, lpinf, lkeys, lnegs):
+        acc = pip._bucket_impl(
+            lpx, lpy, lpinf, lkeys, lnegs, n_buckets, subs_all, bcaps_all
+        )
+        return jnp.stack(acc)[:, None]
+
+    return jax.jit(local_buckets_signed)
+
+
 def msm_sharded_multi(
     mesh, px, py, p_inf, scalar_digits_multi, window_bits: int = 8
 ) -> list[ech.Point]:
@@ -60,49 +104,22 @@ def msm_sharded_multi(
         subs = pip._sub_schedule(n_windows, window_bits)
         bcaps = None
         shift = window_bits
-    subs_all = subs * n_polys  # row = p*W + w
-    bcaps_all = None if bcaps is None else bcaps * n_polys
+    subs_all = tuple(subs * n_polys)  # row = p*W + w
+    bcaps_all = None if bcaps is None else tuple(bcaps * n_polys)
 
+    fn = _local_buckets_fn(mesh, axes, negs is not None, n_buckets, subs_all, bcaps_all)
     if negs is None:
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes)),
-            out_specs=P(None, axes, None, None, None),
-            check_vma=False,
-        )
-        def local_buckets(lpx, lpy, lpinf, lkeys):
-            acc = pip._bucket_impl(
-                lpx, lpy, lpinf, lkeys, None, n_buckets, subs_all, bcaps_all
-            )
-            return jnp.stack(acc)[:, None]  # (3, 1, 32, P*W, B) per device
-
-        stacked = local_buckets(
-            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys
-        )
+        stacked = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys)
     else:
-
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(None, axes), P(None, axes), P(axes), P(None, axes), P(None, axes)),
-            out_specs=P(None, axes, None, None, None),
-            check_vma=False,
-        )
-        def local_buckets(lpx, lpy, lpinf, lkeys, lnegs):
-            acc = pip._bucket_impl(
-                lpx, lpy, lpinf, lkeys, lnegs, n_buckets, subs_all, bcaps_all
-            )
-            return jnp.stack(acc)[:, None]
-
-        stacked = local_buckets(
-            jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, negs
-        )
+        stacked = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(p_inf), keys, negs)
 
     # stacked: (3, d, 32, P*W, B) — move digits first, then reduce the device
     # axes minor-to-major (chips within a host over ICI before hosts over
-    # DCN) with log-depth pairwise point-add trees.
+    # DCN) with log-depth pairwise point-add trees. Runs EAGERLY on purpose:
+    # jitting this over the sharded `stacked` compiles a replicated
+    # multi-device program that re-runs the whole tree on every device
+    # thread (measured round 5: the jitted form timed out where the eager
+    # form ran in seconds on the 8-thread virtual mesh).
     def _tree_reduce_axis(p, axis):
         m = p[0].shape[axis]
         if m > 1 and (m & (m - 1)) == 0:

@@ -55,20 +55,16 @@ def _step3_twiddles(k: int, d: int, inverse: bool) -> np.ndarray:
     return ops.pack_values([v for v in vals]).reshape(N_DIGITS, d, n2)
 
 
-def ntt_distributed(mesh, x: jnp.ndarray, k: int, inverse: bool = False):
-    """NTT of a (N_DIGITS, *batch, 2^k) Montgomery array, point axis sharded
-    over mesh axis 'x'. Returns (N_DIGITS, *batch, d, n2) in four-step
-    layout (use `reorder_output` for natural order)."""
+@functools.lru_cache(maxsize=128)
+def _ntt_run_fn(mesh, k: int, inverse: bool, B: int):
+    """Cached shard_map program for one (mesh, k, inverse, batch-width)
+    four-step NTT. Defined per-call this re-traced/re-lowered the whole
+    n-device program every invocation (same pathology as mesh/msm.py
+    _local_buckets_fn — see its docstring; measured round 5)."""
     d = mesh.devices.size
     n = 1 << k
     n2 = n // d
-    assert n % (d * d) == 0, "need d^2 | n for the all-to-all chunking"
     k1_bits = d.bit_length() - 1
-    assert 1 << k1_bits == d, "mesh size must be a power of two"
-    batch = x.shape[1:-1]
-    xb = x.reshape(N_DIGITS, -1, n)  # fold batch axes into one
-    B = xb.shape[1]
-    tw = jnp.asarray(_step3_twiddles(k, d, inverse))
 
     @functools.partial(
         jax.shard_map,
@@ -97,9 +93,27 @@ def ntt_distributed(mesh, x: jnp.ndarray, k: int, inverse: bool = False):
         a = ntt(a.reshape(N_DIGITS, B, n2), k - k1_bits, inverse)
         return a[:, :, None, :]  # (D, B, 1, n2) -> global (D, B, d, n2)
 
+    return jax.jit(run)
+
+
+def ntt_distributed(mesh, x: jnp.ndarray, k: int, inverse: bool = False):
+    """NTT of a (N_DIGITS, *batch, 2^k) Montgomery array, point axis sharded
+    over mesh axis 'x'. Returns (N_DIGITS, *batch, d, n2) in four-step
+    layout (use `reorder_output` for natural order)."""
+    d = mesh.devices.size
+    n = 1 << k
+    n2 = n // d
+    assert n % (d * d) == 0, "need d^2 | n for the all-to-all chunking"
+    k1_bits = d.bit_length() - 1
+    assert 1 << k1_bits == d, "mesh size must be a power of two"
+    batch = x.shape[1:-1]
+    xb = x.reshape(N_DIGITS, -1, n)  # fold batch axes into one
+    B = xb.shape[1]
+    tw = jnp.asarray(_step3_twiddles(k, d, inverse))
+
     # Chip q's step-3 layout is (all k1, j2 in chunk q); sharding the global
     # twiddle array along its j2 axis hands each chip exactly that block.
-    out = run(xb, tw)
+    out = _ntt_run_fn(mesh, k, inverse, B)(xb, tw)
     return out.reshape(N_DIGITS, *batch, d, n2) if batch else out[:, 0]
 
 

@@ -80,7 +80,14 @@ def _schedule_defaults() -> tuple[int, int]:
     O(n_digits^2) XLA mont_mul chain, so default to the degenerate S=1
     schedule there (tests cover S>1 by passing `subs` explicitly)."""
     if jax.default_backend() == "cpu":
-        base, cap = "1", "1"
+        # cap=1 made the TOP window's overloaded buckets set the round count
+        # for the whole gather loop: scalars < r concentrate the top window
+        # into ~4 (c=4) / ~49 (c=8) key values, so max occupancy — and the
+        # while_loop trip count — ran ~2^c/v times higher than every other
+        # window's. Measured round 5: ONE 512-point CPU MSM at c=4 cost
+        # ~26 s of pure execution (~140 rounds); cap=8 equalizes it to
+        # ~18 rounds for +3 merge-tree padd instances of one-time compile.
+        base, cap = "1", "8"
     else:
         base, cap = "8", "64"
     return (
@@ -391,6 +398,7 @@ def _bucket_impl(px, py, p_inf, keys, neg, n_buckets: int,
     return merged
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 @functools.partial(jax.jit, static_argnums=(1,))
 def _window_sums(buckets, n_buckets: int):
     """T_w = sum_b b * B_{w,b} via the suffix-sum identity

@@ -16,6 +16,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Self-provision the virtual CPU mesh when the active backend is a single
+# chip: the axon sitecustomize pins JAX_PLATFORMS=axon, so an env-var
+# prefix alone cannot select the 8-device CPU platform (observed round 5 —
+# the sweep silently ran d=1-only on the TPU).
+_want = int(os.environ.get("BENCH_SCALING_DEVICES", "8"))
+import __graft_entry__
+
+__graft_entry__._ensure_devices(_want)
+
 from paillier_halo2_tpu.utils.cache import setup_compilation_cache
 
 setup_compilation_cache()
